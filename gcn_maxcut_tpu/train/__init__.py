@@ -1,0 +1,27 @@
+from gcn_maxcut_tpu.train.config import TrainingConfig
+from gcn_maxcut_tpu.train.loop import (
+    TrainState,
+    setup_train_state,
+    make_epoch_fn,
+    train_model,
+    train_dataset,
+    evaluate_model,
+)
+from gcn_maxcut_tpu.train.checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    checkpoint_name,
+)
+
+__all__ = [
+    "TrainingConfig",
+    "TrainState",
+    "setup_train_state",
+    "make_epoch_fn",
+    "train_model",
+    "train_dataset",
+    "evaluate_model",
+    "save_checkpoint",
+    "load_checkpoint",
+    "checkpoint_name",
+]

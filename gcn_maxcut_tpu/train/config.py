@@ -1,0 +1,62 @@
+"""Training configuration (reference ``TrainingConfig`` parity + TPU fields).
+
+Field-for-field superset of the reference dataclass
+(``Training/TrainingNeural.py:36-67``), with the same defaulting rules:
+``dim_embedding`` defaults to ``n_nodes``; ``hidden_dim`` to
+``dim_embedding // 2``.  Frozen (hashable) so it can be a static jit arg.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig:
+    # Model parameters
+    n_nodes: int = 1000
+    dim_embedding: Optional[int] = None    # defaults to n_nodes
+    hidden_dim: Optional[int] = None       # defaults to dim_embedding // 2
+    dropout: float = 0.0
+    number_classes: int = 3
+
+    # Training parameters
+    learning_rate: float = 0.001
+    number_epochs: int = 1000
+    tolerance: float = 1e-4
+    patience: int = 20
+    prob_threshold: float = 0.5
+
+    # Loss parameters
+    A: float = 0.0
+    C: float = 1.0
+    penalty: float = 1000.0                # only applied if use_penalty
+
+    # Saving parameters
+    save_directory: Optional[str] = None   # model name stem; None = no saving
+    save_frequency: int = 100
+
+    # TPU-native extensions (no reference analog)
+    feature_mode: str = "adjacency"        # "adjacency" | "embedding"
+    use_penalty: bool = False              # reference keeps it commented out
+    seed: int = 0
+    log_every: Optional[int] = None        # defaults to save_frequency
+
+    def __post_init__(self):
+        if self.dim_embedding is None:
+            object.__setattr__(self, "dim_embedding", self.n_nodes)
+        if self.hidden_dim is None:
+            object.__setattr__(self, "hidden_dim", self.dim_embedding // 2)
+        if self.log_every is None:
+            object.__setattr__(self, "log_every", self.save_frequency)
+        if self.feature_mode not in ("adjacency", "embedding"):
+            raise ValueError(f"unknown feature_mode {self.feature_mode!r}")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "TrainingConfig":
+        return cls(**json.loads(s))
