@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Driver benchmark: reference-recipe training epoch on the real device.
+
+Prints ONE JSON line:
+  {"metric": "train_epoch_time_n500x20", "value": <s/epoch>, "unit": "s",
+   "vs_baseline": <reference_cpu_epoch_time / ours>}
+
+The metric is the full hot path of the reference pipeline — 20 graphs
+(n=500, d∈[6,8], 1000-wide adjacency features), per-graph forward + STE +
+cut loss + backward + Adam — as one scanned jit step.  Baseline:
+171.81 s / 486 epochs ≈ 0.3535 s/epoch on the reference's CPU
+(BASELINE.md §4).  Extra context (SpMM edges/s, post-processing) goes to
+stderr only.
+"""
+
+import json
+import sys
+
+
+def main():
+    from gcn_maxcut_tpu.bench.microbench import (
+        bench_post_processing,
+        bench_spmm,
+        bench_train_epoch,
+    )
+
+    train = bench_train_epoch(epochs_timed=10)
+    try:
+        spmm = bench_spmm(n=100_000, d=8, feature_dim=128)
+        post = bench_post_processing()
+        print(
+            f"[bench] spmm fwd+bwd: {spmm['fwdbwd_edges_per_s']:.3e} edges/s "
+            f"({100 * spmm['fraction_of_roofline_fwdbwd']:.0f}% of v5e roofline); "
+            f"post-processing 200 iters: {post['time_s'] * 1e3:.1f} ms",
+            file=sys.stderr,
+        )
+    except Exception as e:  # auxiliary benches must not break the headline
+        print(f"[bench] auxiliary benches failed: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_epoch_time_n500x20",
+                "value": round(train["epoch_time_s"], 6),
+                "unit": "s",
+                "vs_baseline": round(train["speedup_vs_reference"], 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

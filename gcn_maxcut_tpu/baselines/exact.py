@@ -1,0 +1,287 @@
+"""Exact and anytime solvers — the CPLEX CP Optimizer stand-in.
+
+The reference benchmarks against the external CPLEX binary
+(``CPLEX/CplexCode.py``): ``cplex_solver`` (:93-188, 3-way max-cut with
+terminals pinned and a TimeLimit) and ``cplex_solver_balanced`` (:190-304,
+adds exact partition-size balance).  CPLEX is unavailable here (its
+hard-coded macOS path would not exist anyway, ``:97``), so this module
+provides native equivalents with the same call shape:
+
+  * ``brute_force_maxcut`` — exhaustive optimum for small n, vectorized on
+    device: all k^(n−t) assignments scored in batched vmapped segment-sums.
+  * ``recursive_flow_min_cut`` — polynomial flow-based baseline mirroring
+    the reference's ``recursive_min_cut``/``find_optimal_k_way_cut``
+    (``prepareData.ipynb`` cell 6): recursive 2-way s–t min-cuts via
+    SciPy's max-flow, over all terminal orderings.
+  * ``anytime_solver`` — the ``cplex_solver`` replacement: exact for small
+    n, otherwise multi-restart simulated annealing + greedy descent under a
+    wall-clock budget (anytime semantics ≈ CP Optimizer's TimeLimit).
+  * ``solver_balanced`` — balanced variant (size-constrained local moves).
+
+Ratios against these are labeled "vs anytime solver" in reports, not
+"vs CPLEX" (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_maxcut_tpu.baselines.local_search import (
+    greedy_flip_local_search,
+    simulated_annealing,
+)
+from gcn_maxcut_tpu.core.graph import Graph
+from gcn_maxcut_tpu.objectives.cut_loss import hard_cut_value
+from gcn_maxcut_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def brute_force_maxcut(
+    g: Graph,
+    k: int = 3,
+    num_fixed: int = 3,
+    batch: int = 4096,
+) -> Tuple[np.ndarray, float]:
+    """Exhaustive k-way max-cut with terminals pinned; n−t ≤ ~16 for k=3.
+
+    Enumerates the k^(n−t) free-node assignments in device-sized batches,
+    scoring each with the O(E) segment-sum cut.  Returns
+    ``(assignment[:n], optimal_cut)``.
+    """
+    n = int(g.n_nodes)
+    free = n - num_fixed
+    total = k**free
+    if total > 50_000_000:
+        raise ValueError(f"k^(n-t) = {total} too large for brute force")
+
+    pows = k ** np.arange(free, dtype=np.int64)
+
+    @jax.jit
+    def score(codes: jnp.ndarray) -> jnp.ndarray:
+        # decode mixed-radix codes into assignments [b, n_pad]
+        digits = (codes[:, None] // jnp.asarray(pows)[None, :]) % k
+        ids = jnp.arange(g.n_pad)[None, :]
+        asn = jnp.zeros((codes.shape[0], g.n_pad), jnp.int32)
+        asn = jnp.where(
+            ids < num_fixed,
+            ids,
+            jnp.pad(digits, ((0, 0), (num_fixed, g.n_pad - n)))[:, : g.n_pad],
+        )
+        return jax.vmap(lambda a: hard_cut_value(g, a))(asn)
+
+    best_cut, best_code = -np.inf, 0
+    for start in range(0, total, batch):
+        codes = np.arange(start, min(start + batch, total), dtype=np.int64)
+        # pad to full batch for a single compiled signature
+        padded = np.zeros(batch, dtype=np.int64)
+        padded[: codes.size] = codes
+        cuts = np.asarray(score(jnp.asarray(padded)))[: codes.size]
+        i = int(np.argmax(cuts))
+        if cuts[i] > best_cut:
+            best_cut, best_code = float(cuts[i]), int(codes[i])
+
+    digits = (best_code // pows) % k
+    assignment = np.concatenate([np.arange(num_fixed), digits]).astype(np.int64)
+    return assignment[:n], best_cut
+
+
+def _st_min_cut(
+    adj: np.ndarray, source: int, sink: int
+) -> Tuple[float, np.ndarray]:
+    """s–t min cut via SciPy max-flow; returns (cut_weight, side_mask).
+
+    ``side_mask[i]`` True if i is on the source side.
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_flow
+
+    n = adj.shape[0]
+    # maximum_flow needs integer capacities; scale floats
+    scale = 1000
+    cap = csr_matrix((adj * scale).astype(np.int64))
+    res = maximum_flow(cap, source, sink)
+    # residual graph reachability from source = source side
+    residual = cap - res.flow
+    residual.data = np.maximum(residual.data, 0)
+    from scipy.sparse.csgraph import breadth_first_order
+
+    reach = breadth_first_order(
+        residual, source, directed=True, return_predecessors=False
+    )
+    side = np.zeros(n, dtype=bool)
+    side[reach] = True
+    return res.flow_value / scale, side
+
+
+def recursive_flow_min_cut(
+    g: Graph, num_terminals: int = 3
+) -> Tuple[np.ndarray, float]:
+    """k-way cut via recursive 2-way s–t min-cuts over terminal orderings.
+
+    Mirrors the reference's flow-based ``recursive_min_cut`` /
+    ``find_optimal_k_way_cut`` (``prepareData.ipynb`` cell 6): for each
+    permutation of terminals, split off one terminal at a time with an s–t
+    min-cut against a super-sink of the remaining terminals; keep the
+    best-scoring ordering.  This minimizes the multiway cut (a lower-quality
+    max-cut heuristic, but the exact reproduction of the reference
+    capability); returns ``(assignment[:n], cut_value_of_assignment)``.
+    """
+    n = int(g.n_nodes)
+    # densify on host (small-n baseline)
+    adj = np.zeros((n, n), dtype=np.float64)
+    s_np = np.asarray(g.senders)
+    r_np = np.asarray(g.receivers)
+    w_np = np.asarray(g.weights)
+    m = np.asarray(g.edge_mask) > 0
+    adj[r_np[m], s_np[m]] = w_np[m]
+
+    terminals = list(range(num_terminals))
+    best_asn, best_val = None, -np.inf
+    for order in itertools.permutations(terminals):
+        remaining = np.ones(n, dtype=bool)
+        asn = np.full(n, terminals[-1], dtype=np.int64)
+        ok = True
+        for t in order[:-1]:
+            others = [u for u in order if u != t and remaining[u]]
+            if not others:
+                ok = False
+                break
+            # contract: super-sink = first remaining other terminal, with
+            # infinite-capacity edges from the rest
+            sub_idx = np.nonzero(remaining)[0]
+            pos = {v: i for i, v in enumerate(sub_idx)}
+            sub = adj[np.ix_(sub_idx, sub_idx)].copy()
+            sink = pos[others[0]]
+            big = sub.sum() + 1
+            for u in others[1:]:
+                sub[pos[u], sink] = big
+                sub[sink, pos[u]] = big
+            _, side = _st_min_cut(sub, pos[t], sink)
+            members = sub_idx[side]
+            asn[members] = t
+            remaining[members] = False
+        if not ok:
+            continue
+        full = np.zeros(int(np.asarray(g.n_pad)), dtype=np.int64)
+        full[:n] = asn
+        val = float(hard_cut_value(g, jnp.asarray(full)))
+        if val > best_val:
+            best_val, best_asn = val, asn.copy()
+    return best_asn, best_val
+
+
+def anytime_solver(
+    g: Graph,
+    k: int = 3,
+    time_limit: float = 300.0,
+    num_fixed: int = 3,
+    seed: int = 0,
+    exact_threshold: int = 18,
+    sa_steps: int = 20_000,
+) -> Dict[str, object]:
+    """CPLEX ``cplex_solver`` replacement (same call shape, :93-188).
+
+    Exact (brute force) when ``k^(n−t)`` is tractable; otherwise restarts of
+    simulated annealing + greedy descent until ``time_limit`` expires.
+    Returns a dict with ``assignment``, ``cut_value``, ``solve_time``,
+    ``method``, ``restarts``.
+    """
+    n = int(g.n_nodes)
+    t0 = time.perf_counter()
+    if n - num_fixed <= exact_threshold and k ** (n - num_fixed) <= 50_000_000:
+        asn, cut = brute_force_maxcut(g, k, num_fixed)
+        return {
+            "assignment": asn,
+            "cut_value": cut,
+            "solve_time": time.perf_counter() - t0,
+            "method": "exact_brute_force",
+            "restarts": 0,
+        }
+
+    key = jax.random.PRNGKey(seed)
+    best_cut, best_asn = -np.inf, None
+    restarts = 0
+    while time.perf_counter() - t0 < time_limit:
+        key, k1, k2 = jax.random.split(key, 3)
+        init = jax.random.randint(k1, (g.n_pad,), 0, k)
+        ids = jnp.arange(g.n_pad)
+        init = jnp.where(ids < num_fixed, ids, init)
+        asn, _ = simulated_annealing(
+            g, init, k2, k=k, num_fixed=num_fixed, steps=sa_steps
+        )
+        asn, cut = greedy_flip_local_search(g, asn, k, num_fixed)
+        cut = float(cut)
+        if cut > best_cut:
+            best_cut = cut
+            best_asn = np.asarray(asn)[:n]
+        restarts += 1
+        if restarts >= 1 and time.perf_counter() - t0 > time_limit * 0.9:
+            break
+    return {
+        "assignment": best_asn,
+        "cut_value": best_cut,
+        "solve_time": time.perf_counter() - t0,
+        "method": "sa_anytime",
+        "restarts": restarts,
+    }
+
+
+def solver_balanced(
+    g: Graph,
+    k: int = 3,
+    time_limit: float = 300.0,
+    num_fixed: int = 3,
+    seed: int = 0,
+) -> Dict[str, object]:
+    """Balanced variant (reference ``cplex_solver_balanced`` :190-304).
+
+    Enforces ⌊n/k⌋-balanced partitions by repairing the anytime solution:
+    overfull classes donate their lowest-loss members to underfull ones.
+    """
+    n = int(g.n_nodes)
+    result = anytime_solver(
+        g, k, time_limit=max(1.0, time_limit / 2), num_fixed=num_fixed, seed=seed
+    )
+    asn = np.array(result["assignment"], dtype=np.int64)
+    target = n // k
+
+    from gcn_maxcut_tpu.baselines.local_search import _class_weights
+
+    for _ in range(2 * n):
+        sizes = np.bincount(asn, minlength=k)
+        over = [c for c in range(k) if sizes[c] > target]
+        under = [c for c in range(k) if sizes[c] < target]
+        if not over or not under:
+            break
+        full = np.zeros(g.n_pad, dtype=np.int64)
+        full[:n] = asn
+        w = np.asarray(_class_weights(g, jnp.asarray(full), k))[:n]
+        c_from = over[0]
+        # candidate movable nodes in c_from (not terminals)
+        cand = [i for i in range(num_fixed, n) if asn[i] == c_from]
+        # pick node whose move to an underfull class loses the least cut
+        best = None
+        for i in cand:
+            for c_to in under:
+                delta = w[i, asn[i]] - w[i, c_to]   # cut change
+                if best is None or delta > best[2]:
+                    best = (i, c_to, delta)
+        if best is None:
+            break
+        asn[best[0]] = best[1]
+
+    full = np.zeros(g.n_pad, dtype=np.int64)
+    full[:n] = asn
+    cut = float(hard_cut_value(g, jnp.asarray(full)))
+    sizes = np.bincount(asn, minlength=k).tolist()
+    result.update(
+        {"assignment": asn, "cut_value": cut, "method": "balanced_" + str(result["method"]), "partition_sizes": sizes}
+    )
+    return result

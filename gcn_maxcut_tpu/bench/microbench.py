@@ -1,0 +1,197 @@
+"""Microbenchmarks: SpMM edges/s, training epoch, post-processing throughput.
+
+The performance surface BASELINE.json cares about: SpMM fwd+bwd edges/s per
+chip vs roofline, the reference-recipe training epoch (20×n500 graphs,
+reference: ~0.354 s/epoch on CPU, ``BASELINE.md`` §4), and the 200-iteration
+post-processing pass (reference: ~374× its forward pass, ``BASELINE.md`` §3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_maxcut_tpu.bench.roofline import RooflineModel, chip_specs
+from gcn_maxcut_tpu.core.graph import Graph, pad_graph_batch
+from gcn_maxcut_tpu.data.generate import generate_graph, regular_graph_on_device
+from gcn_maxcut_tpu.data.process import DataConfig, process_graphs
+from gcn_maxcut_tpu.ops.segment import spmm
+from gcn_maxcut_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _device_graph(n: int, d: int, seed: int = 0) -> Graph:
+    """Exactly d-regular circulant graph assembled fully on device."""
+    senders, receivers = regular_graph_on_device(n, d, jax.random.PRNGKey(seed))
+    order = jnp.argsort(receivers, stable=True)
+    senders, receivers = senders[order], receivers[order]
+    e = senders.shape[0]
+    return Graph(
+        senders=senders,
+        receivers=receivers,
+        weights=jnp.ones((e,), jnp.float32),
+        edge_mask=jnp.ones((e,), jnp.float32),
+        row_ptr=jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(jnp.full((n,), d, jnp.int32))]
+        ),
+        degrees=jnp.full((n,), float(d), jnp.float32),
+        node_mask=jnp.ones((n,), jnp.float32),
+        n_nodes=jnp.asarray(n, jnp.int32),
+        n_edges=jnp.asarray(e, jnp.int32),
+    )
+
+
+def bench_spmm(
+    n: int = 100_000,
+    d: int = 8,
+    feature_dim: int = 128,
+    chip: str = "v5e",
+    iters: int = 10,
+) -> Dict[str, float]:
+    """SpMM fwd and fwd+bwd edges/s with roofline fraction."""
+    g = _device_graph(n, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, feature_dim), jnp.float32)
+
+    fwd = jax.jit(lambda x_: spmm(g, x_))
+    t_fwd = _timeit(fwd, x, iters=iters)
+
+    grad_fn = jax.jit(jax.grad(lambda x_: jnp.sum(spmm(g, x_) ** 2)))
+    t_fwdbwd = _timeit(grad_fn, x, iters=iters)
+
+    e = n * d
+    model = RooflineModel(chip_specs(chip), feature_dim, n, e)
+    res = {
+        "n": n,
+        "d": d,
+        "feature_dim": feature_dim,
+        "edges_directed": e,
+        "fwd_time_s": t_fwd,
+        "fwd_edges_per_s": e / t_fwd,
+        "fwdbwd_time_s": t_fwdbwd,
+        "fwdbwd_edges_per_s": e / t_fwdbwd,
+        "roofline_fwd_edges_per_s": model.edges_per_s(fwd_bwd=False),
+        "roofline_fwdbwd_edges_per_s": model.edges_per_s(fwd_bwd=True),
+        "fraction_of_roofline_fwd": model.fraction_of_roofline(
+            e / t_fwd, fwd_bwd=False
+        ),
+        "fraction_of_roofline_fwdbwd": model.fraction_of_roofline(
+            e / t_fwdbwd, fwd_bwd=True
+        ),
+    }
+    logger.info(
+        "spmm n=%d d=%d F=%d: fwd %.2e edges/s (%.0f%% SoL), fwd+bwd %.2e (%.0f%% SoL)",
+        n, d, feature_dim,
+        res["fwd_edges_per_s"], 100 * res["fraction_of_roofline_fwd"],
+        res["fwdbwd_edges_per_s"], 100 * res["fraction_of_roofline_fwdbwd"],
+    )
+    return res
+
+
+def bench_train_epoch(
+    num_graphs: int = 20,
+    n: int = 500,
+    d_range=(6, 8),
+    max_nodes: int = 1000,
+    epochs_timed: int = 10,
+    seed: int = 1000,
+) -> Dict[str, float]:
+    """The reference recipe's epoch (20 graphs n=500 d∈[6,8], 1000-wide
+    features, per-graph Adam steps) timed end-to-end on device.
+
+    Reference baseline: 171.81 s / 486 epochs ≈ 0.354 s/epoch on CPU
+    (``BASELINE.md`` §4).
+    """
+    from gcn_maxcut_tpu.train.config import TrainingConfig
+    from gcn_maxcut_tpu.train.loop import make_epoch_fn, setup_train_state
+
+    rng = np.random.default_rng(seed)
+    specs = []
+    while len(specs) < num_graphs:
+        deg = int(rng.integers(d_range[0], d_range[1] + 1))
+        if (n * deg) % 2:
+            continue
+        specs.append(
+            generate_graph(n=n, d=deg, graph_type="reg", seed=seed + len(specs))
+        )
+    ds = process_graphs(specs, DataConfig(max_nodes=max_nodes))
+    batch = pad_graph_batch([ds.graphs[k] for k in sorted(ds.graphs)])
+
+    cfg = TrainingConfig(n_nodes=max_nodes)
+    state = setup_train_state(cfg)
+    epoch_fn = make_epoch_fn(cfg, state.optimizer)
+
+    params, opt_state = state.params, state.opt_state
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = epoch_fn(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    compile_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(epochs_timed):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = epoch_fn(params, opt_state, batch, sub)
+    jax.block_until_ready(loss)
+    epoch_time = (time.perf_counter() - t0) / epochs_timed
+
+    ref_epoch_time = 171.81 / 486.0
+    res = {
+        "num_graphs": num_graphs,
+        "n": n,
+        "epoch_time_s": epoch_time,
+        "compile_time_s": compile_time,
+        "final_epoch_loss": float(loss),
+        "reference_epoch_time_s": ref_epoch_time,
+        "speedup_vs_reference": ref_epoch_time / epoch_time,
+    }
+    logger.info(
+        "train epoch (%dx n=%d): %.4f s/epoch (ref CPU %.4f, %.1fx), compile %.1fs",
+        num_graphs, n, epoch_time, ref_epoch_time,
+        res["speedup_vs_reference"], compile_time,
+    )
+    return res
+
+
+def bench_post_processing(
+    n: int = 500, d: int = 8, iterations: int = 200, iters: int = 10
+) -> Dict[str, float]:
+    """Post-processing sampling throughput (reference overhead: ~374×)."""
+    from gcn_maxcut_tpu.eval.decode import post_process
+
+    spec = generate_graph(n=n, d=d, graph_type="reg", seed=0)
+    ds = process_graphs([spec], DataConfig(max_nodes=n))
+    g = ds.graphs[0]
+    probs = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(0), (g.n_pad, 3)), axis=-1
+    )
+    pp = jax.jit(post_process, static_argnames=("iterations",))
+    key = jax.random.PRNGKey(1)
+    t = _timeit(lambda: pp(g, probs, key, iterations=iterations)[1], iters=iters)
+    res = {
+        "n": n,
+        "iterations": iterations,
+        "time_s": t,
+        "samples_per_s": iterations / t,
+    }
+    logger.info(
+        "post-processing n=%d, %d iters: %.4f s (%.0f samples/s)",
+        n, iterations, t, res["samples_per_s"],
+    )
+    return res

@@ -1,0 +1,100 @@
+"""Decoders: argmax assignment, vmapped sampling post-processor, perm search.
+
+TPU-native redesign of the reference's evaluation hot loop
+(``Testing/TestingNeuralNetwork.py``): the reference samples assignments with
+a per-node Python inverse-CDF loop repeated 200× per graph
+(``assign_partitions`` :18-46 inside ``post_processing_optimization``
+:66-98), measured at ~374× the forward-pass runtime (SURVEY.md §3.2).  Here
+all ``iterations`` rollouts are one ``vmap``-ed device call: sample a
+``[iters, n]`` assignment matrix from the categorical distributions, pin
+terminals, evaluate every cut with an O(E) segment sum, and argmax — no host
+transfer until the final scalar.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gcn_maxcut_tpu.core.graph import Graph
+from gcn_maxcut_tpu.objectives.cut_loss import hard_cut_value
+from gcn_maxcut_tpu.ops.ste import pin_terminals
+
+
+def simple_assignment(probs: jnp.ndarray, num_terminals: int = 3) -> jnp.ndarray:
+    """Row argmax, then force terminals ``0..t-1`` to their own classes.
+
+    Reference ``simple_partition_assignment``
+    (``TestingNeuralNetwork.py:100-122``).
+    """
+    assignment = jnp.argmax(probs, axis=-1)
+    ids = jnp.arange(assignment.shape[0])
+    return jnp.where(ids < num_terminals, ids, assignment)
+
+
+def sample_partitions(
+    probs: jnp.ndarray, key: jax.Array, num_samples: int, num_terminals: int = 3
+) -> jnp.ndarray:
+    """``[num_samples, n]`` categorical samples; terminals pinned.
+
+    Inverse-CDF semantics identical to reference ``assign_partitions``
+    (``TestingNeuralNetwork.py:18-46``) including its fallback-to-last-class
+    when a row's probabilities sum below the uniform draw.
+    """
+    n, k = probs.shape
+    cdf = jnp.cumsum(probs, axis=-1)                    # [n, k]
+    u = jax.random.uniform(key, (num_samples, n, 1))
+    # first class whose cumulative prob exceeds u == count of classes with
+    # cdf <= u; clipping implements the reference's last-class fallback.
+    sampled = jnp.sum(u >= cdf[None, :, :], axis=-1)
+    sampled = jnp.clip(sampled, 0, k - 1)
+    ids = jnp.arange(n)[None, :]
+    return jnp.where(ids < num_terminals, ids, sampled)
+
+
+def post_process(
+    g: Graph,
+    probs: jnp.ndarray,
+    key: jax.Array,
+    iterations: int = 200,
+    num_terminals: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best-of-N sampled rounding: returns ``(best_assignment, best_cut)``.
+
+    Reference ``post_processing_optimization``
+    (``TestingNeuralNetwork.py:66-98``) as one jitted device call.
+    """
+    samples = sample_partitions(probs, key, iterations, num_terminals)
+    cuts = jax.vmap(lambda a: hard_cut_value(g, a))(samples)
+    best = jnp.argmax(cuts)
+    return samples[best], cuts[best]
+
+
+post_process_jit = jax.jit(post_process, static_argnames=("iterations", "num_terminals"))
+
+
+def terminal_permutation_search(
+    g: Graph, probs: jnp.ndarray, num_terminals: int = 3
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best argmax decode over all k! class-relabelings of the head.
+
+    Capability parity with ``evaluate_optimal_partitioning`` /
+    ``generate_terminal_permutations`` (reference
+    ``TrainingNeural.py:212-289``): the class indices are permuted before
+    decoding (terminals stay pinned to 0/1/2), and the best resulting cut is
+    returned as ``(best_assignment, best_cut)``.
+    """
+    from itertools import permutations
+
+    k = probs.shape[-1]
+    perms = jnp.asarray(list(permutations(range(k))), dtype=jnp.int32)  # [k!, k]
+
+    def decode_with(perm):
+        asn = simple_assignment(probs[:, perm], num_terminals)
+        return asn, hard_cut_value(g, asn)
+
+    assignments, cuts = jax.vmap(decode_with)(perms)
+    best = jnp.argmax(cuts)
+    return assignments[best], cuts[best]

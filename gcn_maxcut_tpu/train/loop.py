@@ -1,0 +1,282 @@
+"""Training orchestration: one jit-compiled, scanned epoch; host-side control.
+
+TPU-native redesign of the reference's training stack
+(``Training/TrainingNeural.py``):
+
+  * ``train_single_epoch`` (:341-390) — a Python loop doing one forward/
+    backward/Adam step per graph — becomes ``make_epoch_fn``: a single jit
+    whose ``lax.scan`` carries (params, opt_state) across the stacked graph
+    batch, performing the same per-graph optimizer step semantics with zero
+    host round-trips inside an epoch.
+  * the loss chain forward -> ``override_fixed_nodes`` ->
+    ``apply_max_to_one_hot`` -> ``compute_loss`` (:371-386) maps to
+    ``gcn_softmax_apply`` -> ``pin_terminals`` -> ``ste_argmax_onehot`` ->
+    ``objectives.compute_loss``.
+  * ``train_model`` (:392-484) — epoch loop, early stopping (patience on
+    non-improving / plateaued cumulative loss), best-state tracking and
+    restore, periodic + final checkpoints — is reproduced line of intent by
+    line of intent on the host, with only one scalar device->host transfer
+    per epoch.
+  * adjacency-as-features (the reference's load-bearing quirk, SURVEY.md
+    §2.3) is built on device from the sparse container each step; the
+    embedding table is created, optimized, and checkpointed exactly like the
+    reference's unused ``nn.Embedding`` (``:332,359,456``), and is the real
+    feature source in ``feature_mode="embedding"``.
+
+Optimizer: optax Adam with torch defaults (b1=0.9, b2=0.999, eps=1e-8),
+matching ``torch.optim.Adam`` in ``setup_model_and_optimizer`` (:336-337).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gcn_maxcut_tpu.core.graph import Graph, dense_adjacency, pad_graph_batch
+from gcn_maxcut_tpu.data.process import ProcessedDataset
+from gcn_maxcut_tpu.models.gcn import (
+    embedding_init,
+    gcn_softmax_apply,
+    gcn_softmax_init,
+)
+from gcn_maxcut_tpu.objectives.cut_loss import compute_loss
+from gcn_maxcut_tpu.ops.ste import pin_terminals, ste_argmax_onehot
+from gcn_maxcut_tpu.train.checkpoint import checkpoint_name, save_checkpoint
+from gcn_maxcut_tpu.train.config import TrainingConfig
+from gcn_maxcut_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any                 # {"conv1": .., "conv2": .., "embed": ..}
+    opt_state: Any
+    config: TrainingConfig
+    optimizer: optax.GradientTransformation
+
+
+def setup_train_state(config: TrainingConfig) -> TrainState:
+    """Model + embedding + single Adam over both (reference :311-339)."""
+    key = jax.random.PRNGKey(config.seed)
+    k_model, k_embed = jax.random.split(key)
+    params = gcn_softmax_init(
+        k_model, config.dim_embedding, config.hidden_dim, config.number_classes
+    )
+    params["embed"] = embedding_init(k_embed, config.n_nodes, config.dim_embedding)
+    optimizer = optax.adam(config.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, config, optimizer)
+
+
+def _embed_rows(embed: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """Fit the (n_nodes, dim) embedding table to the graph's n_pad rows."""
+    n_table = embed.shape[0]
+    if n_pad <= n_table:
+        return embed[:n_pad]
+    return jnp.pad(embed, ((0, n_pad - n_table), (0, 0)))
+
+
+def _graph_loss(
+    params: Any, g: Graph, config: TrainingConfig, dropout_rng: jax.Array
+) -> jnp.ndarray:
+    """Reference loss chain for one graph (``TrainingNeural.py:371-381``)."""
+    if config.feature_mode == "adjacency":
+        x = dense_adjacency(g, width=config.dim_embedding)
+    else:
+        x = _embed_rows(params["embed"], g.n_pad)
+    probs = gcn_softmax_apply(
+        {"conv1": params["conv1"], "conv2": params["conv2"]},
+        g,
+        x,
+        dropout=config.dropout,
+        train=True,
+        dropout_rng=dropout_rng,
+    )
+    pinned = pin_terminals(probs)
+    onehot = ste_argmax_onehot(pinned)
+    return compute_loss(
+        g,
+        onehot,
+        A=config.A,
+        C=config.C,
+        penalty=config.penalty if config.use_penalty else 0.0,
+        num_terminals=3,
+    )
+
+
+def make_epoch_fn(
+    config: TrainingConfig, optimizer: optax.GradientTransformation
+) -> Callable:
+    """jit(epoch): scan per-graph Adam steps over the stacked dataset.
+
+    Returns ``epoch_fn(params, opt_state, batch, rng) ->
+    (params, opt_state, cumulative_loss)``.
+    """
+
+    def step(carry, inp):
+        params, opt_state = carry
+        g, key = inp
+        loss, grads = jax.value_and_grad(_graph_loss)(params, g, config, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def epoch_fn(params, opt_state, batch: Graph, rng: jax.Array):
+        n_graphs = batch.n_nodes.shape[0]
+        keys = jax.random.split(rng, n_graphs)
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (batch, keys)
+        )
+        return params, opt_state, jnp.sum(losses)
+
+    return epoch_fn
+
+
+def train_model(
+    dataset_batch: Graph,
+    config: TrainingConfig,
+    state: TrainState | None = None,
+    callback: Optional[Callable[[int, float], None]] = None,
+) -> Tuple[Any, float, int, jnp.ndarray, List[float]]:
+    """Epoch loop with early stopping / best-restore / checkpoints.
+
+    Mirrors reference ``train_model`` (:392-484) control flow; returns the
+    same tuple shape ``(params, best_loss, final_epoch, embed, history)``.
+    ``dataset_batch`` is the stacked `Graph` from `pad_graph_batch`.
+    """
+    state = state or setup_train_state(config)
+    epoch_fn = make_epoch_fn(config, state.optimizer)
+    params, opt_state = state.params, state.opt_state
+
+    best_loss = float("inf")
+    best_params = None
+    loss_history: List[float] = []
+    patience_counter = 0
+    prev_loss = float("inf")
+    rng = jax.random.PRNGKey(config.seed + 1)
+
+    logger.info(
+        "training: %d epochs, %d graphs, %d nodes, %d classes",
+        config.number_epochs,
+        int(dataset_batch.n_nodes.shape[0]),
+        config.n_nodes,
+        config.number_classes,
+    )
+    start = time.time()
+    epoch = 0
+    for epoch in range(config.number_epochs):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, cum_loss = epoch_fn(params, opt_state, dataset_batch, sub)
+        cumulative_loss = float(cum_loss)
+        loss_history.append(cumulative_loss)
+
+        if epoch > 0 and (
+            cumulative_loss > prev_loss
+            or abs(prev_loss - cumulative_loss) <= config.tolerance
+        ):
+            patience_counter += 1
+            if patience_counter >= config.patience:
+                logger.info("early stopping at epoch %d", epoch)
+                break
+        else:
+            patience_counter = 0
+
+        if cumulative_loss < best_loss:
+            best_loss = cumulative_loss
+            best_params = jax.tree_util.tree_map(lambda x: x, params)
+
+        prev_loss = cumulative_loss
+
+        if epoch % config.save_frequency == 0:
+            logger.info("epoch %d: cumulative loss %.6f", epoch, cumulative_loss)
+            if config.save_directory:
+                save_checkpoint(
+                    checkpoint_name(config.save_directory, epoch, cumulative_loss),
+                    params=params,
+                    opt_state=opt_state,
+                    epoch=epoch,
+                    loss_history=loss_history,
+                    config=config,
+                )
+        if callback is not None:
+            callback(epoch, cumulative_loss)
+
+    if best_params is not None:
+        params = best_params
+
+    logger.info(
+        "training done in %.2fs, best loss %.6f", time.time() - start, best_loss
+    )
+    if config.save_directory:
+        final = save_checkpoint(
+            checkpoint_name(config.save_directory),
+            params=params,
+            opt_state=opt_state,
+            epoch=epoch,
+            loss_history=loss_history,
+            config=config,
+        )
+        logger.info("final model saved to %s", final)
+
+    return params, best_loss, epoch, params.get("embed"), loss_history
+
+
+def train_dataset(
+    dataset: ProcessedDataset,
+    model_name: str | None = None,
+    **config_kwargs,
+) -> Tuple[Any, float, int, jnp.ndarray, List[float]]:
+    """Convenience wrapper (reference ``train_from_pickle`` :486-513).
+
+    Derives ``n_nodes`` (feature width) from the dataset's ``max_nodes``
+    unless overridden.
+    """
+    params = {
+        "n_nodes": dataset.config.max_nodes,
+        "save_directory": model_name,
+        **config_kwargs,
+    }
+    config = TrainingConfig(**params)
+    batch = pad_graph_batch([dataset.graphs[k] for k in sorted(dataset.graphs)])
+    return train_model(batch, config)
+
+
+def evaluate_model(
+    params: Any, dataset_batch: Graph, config: TrainingConfig
+) -> Dict[str, float]:
+    """Average no-grad loss over the dataset (reference :537-570).
+
+    Notebooks read ``-average_loss`` as the estimated average cut value.
+    """
+
+    @jax.jit
+    def eval_loss(params, batch):
+        def one(g):
+            if config.feature_mode == "adjacency":
+                x = dense_adjacency(g, width=config.dim_embedding)
+            else:
+                x = _embed_rows(params["embed"], g.n_pad)
+            probs = gcn_softmax_apply(
+                {"conv1": params["conv1"], "conv2": params["conv2"]}, g, x
+            )
+            onehot = ste_argmax_onehot(pin_terminals(probs))
+            return compute_loss(g, onehot, A=config.A, C=config.C)
+
+        return jax.vmap(one)(batch)
+
+    losses = eval_loss(params, dataset_batch)
+    total = float(jnp.sum(losses))
+    n = losses.shape[0]
+    return {
+        "total_loss": total,
+        "average_loss": total / n,
+        "num_graphs": n,
+        "estimated_avg_cut": -total / n,
+    }

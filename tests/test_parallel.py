@@ -1,0 +1,186 @@
+"""Sharded SpMM / DP training on the virtual 8-device CPU mesh.
+
+These exercise the exact shard_map code paths that run on a real TPU slice
+(SURVEY.md §4c): partitioning invariants, ring-vs-allgather equivalence
+with the single-device segment-sum SpMM, sharded GCN conv parity, and the
+data-parallel epoch step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gcn_maxcut_tpu.core import graph_from_edges, pad_graph_batch
+from gcn_maxcut_tpu.data import generate_graph, process_graphs, DataConfig
+from gcn_maxcut_tpu.models import gcn_conv_init, gcn_conv_apply
+from gcn_maxcut_tpu.ops import spmm_xla
+from gcn_maxcut_tpu.parallel import (
+    make_mesh,
+    shard_graph,
+    partition_nodes_contiguous,
+    partition_nodes_bfs,
+    sharded_spmm_allgather,
+    sharded_spmm_ring,
+    make_dp_epoch_fn,
+    shard_batch_for_dp,
+)
+from gcn_maxcut_tpu.parallel.spmm import sharded_gcn_conv
+from gcn_maxcut_tpu.parallel.partition import shard_specs, local_shard
+from gcn_maxcut_tpu.train import TrainingConfig, setup_train_state
+
+
+D = 8  # virtual device count from conftest
+
+
+def _random_coo(n, d, seed):
+    from gcn_maxcut_tpu.data.generate import random_regular_edges
+
+    e = random_regular_edges(n, d, seed=seed)
+    senders = np.concatenate([e[:, 0], e[:, 1]])
+    receivers = np.concatenate([e[:, 1], e[:, 0]])
+    return senders, receivers
+
+
+def test_partition_contiguous():
+    owner = partition_nodes_contiguous(100, 8)
+    counts = np.bincount(owner, minlength=8)
+    assert counts.max() - counts.min() <= 13
+    assert np.all(np.diff(owner) >= 0)
+
+
+def test_partition_bfs_balanced_and_total():
+    s, r = _random_coo(96, 4, 0)
+    owner = partition_nodes_bfs(s, r, 96, 8)
+    counts = np.bincount(owner, minlength=8)
+    assert counts.sum() == 96
+    assert counts.max() <= 12 + 4  # near-balanced
+
+
+def test_shard_graph_grouping_invariant():
+    s, r = _random_coo(64, 4, 1)
+    sg, g2l = shard_graph(s, r, 64, 4)
+    # every real edge must appear exactly once across groups
+    total_real = float(np.asarray(sg.edge_mask).sum())
+    assert total_real == s.shape[0]
+    # degrees sum to directed edge count
+    assert float(np.asarray(sg.degrees).sum()) == s.shape[0]
+
+
+@pytest.mark.parametrize("schedule_fn", [sharded_spmm_allgather, sharded_spmm_ring])
+def test_sharded_spmm_matches_single_device(schedule_fn):
+    n, deg = 64, 4
+    s, r = _random_coo(n, deg, 2)
+    g = graph_from_edges(
+        np.stack([s[: len(s) // 2], r[: len(s) // 2]], 1), n
+    )
+    sg, g2l = shard_graph(s, r, n, D)
+    n_shard = sg.n_shard
+
+    rng = np.random.default_rng(3)
+    x_global = rng.normal(size=(n, 5)).astype(np.float32)
+    # reference: dense aggregation
+    dense = np.zeros((n, n), np.float32)
+    dense[r, s] = 1.0
+    expect = dense @ x_global
+
+    # scatter x rows into sharded layout [D, n_shard, F]
+    x_sh = np.zeros((D, n_shard, 5), np.float32)
+    owner = g2l // n_shard
+    local = g2l % n_shard
+    x_sh[owner, local] = x_global
+
+    mesh = make_mesh(("graph",))
+    out = jax.jit(
+        jax.shard_map(
+            lambda sg_, x_: schedule_fn(local_shard(sg_), x_[0], "graph")[None],
+            mesh=mesh,
+            in_specs=(shard_specs(sg), P("graph")),
+            out_specs=P("graph"),
+        )
+    )(sg, jnp.asarray(x_sh))
+    out = np.asarray(out)
+    got = out[owner, local]
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_gcn_conv_matches_single_device():
+    n, deg = 64, 4
+    s, r = _random_coo(n, deg, 4)
+    edges = np.stack([s[: len(s) // 2], r[: len(s) // 2]], 1)
+    g = graph_from_edges(edges, n, n_pad=n)
+    params = gcn_conv_init(jax.random.PRNGKey(0), 5, 3)
+    rng = np.random.default_rng(5)
+    x_global = rng.normal(size=(n, 5)).astype(np.float32)
+    expect = np.asarray(gcn_conv_apply(params, g, jnp.asarray(x_global)))
+
+    sg, g2l = shard_graph(s, r, n, D)
+    n_shard = sg.n_shard
+    owner, local = g2l // n_shard, g2l % n_shard
+    x_sh = np.zeros((D, n_shard, 5), np.float32)
+    x_sh[owner, local] = x_global
+
+    mesh = make_mesh(("graph",))
+    out = jax.jit(
+        jax.shard_map(
+            lambda sg_, x_: sharded_gcn_conv(
+                params["w"],
+                params["b"],
+                local_shard(sg_),
+                x_[0],
+                "graph",
+                schedule="ring",
+            )[None],
+            mesh=mesh,
+            in_specs=(shard_specs(sg), P("graph")),
+            out_specs=P("graph"),
+        )
+    )(sg, jnp.asarray(x_sh))
+    got = np.asarray(out)[owner, local]
+    np.testing.assert_allclose(got, expect[:n], rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_spmm_gradients_flow():
+    n = 32
+    s, r = _random_coo(n, 4, 6)
+    sg, g2l = shard_graph(s, r, n, D)
+    n_shard = sg.n_shard
+    mesh = make_mesh(("graph",))
+
+    def loss(x_sh):
+        out = jax.shard_map(
+            lambda sg_, x_: sharded_spmm_ring(local_shard(sg_), x_[0], "graph")[None],
+            mesh=mesh,
+            in_specs=(shard_specs(sg), P("graph")),
+            out_specs=P("graph"),
+        )(sg, x_sh)
+        return jnp.sum(out**2)
+
+    x = jnp.ones((D, n_shard, 3), jnp.float32)
+    grad = jax.jit(jax.grad(loss))(x)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.sum(jnp.abs(grad))) > 0
+
+
+def test_dp_epoch_matches_loss_scale():
+    # 8 tiny graphs, one per device
+    specs = [generate_graph(n=16, d=4, seed=s) for s in range(8)]
+    ds = process_graphs(specs, DataConfig(max_nodes=16))
+    batch = pad_graph_batch([ds.graphs[k] for k in sorted(ds.graphs)])
+    cfg = TrainingConfig(n_nodes=16, learning_rate=1e-2)
+    state = setup_train_state(cfg)
+    mesh = make_mesh(("data",))
+    dp_fn = make_dp_epoch_fn(cfg, state.optimizer, mesh)
+    batch_sh = shard_batch_for_dp(batch, mesh)
+    params, opt_state, loss = dp_fn(
+        state.params, state.opt_state, batch_sh, jax.random.PRNGKey(0)
+    )
+    loss0 = float(loss)
+    assert np.isfinite(loss0) and loss0 < 0  # -sum of positive cuts
+    # several epochs reduce the loss (increase total cut)
+    for i in range(20):
+        params, opt_state, loss = dp_fn(
+            params, opt_state, batch_sh, jax.random.PRNGKey(i + 1)
+        )
+    assert float(loss) < loss0

@@ -1,0 +1,157 @@
+"""Training loop: loss improves, early stopping, checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gcn_maxcut_tpu.core import pad_graph_batch
+from gcn_maxcut_tpu.data import generate_graph, process_graphs, DataConfig
+from gcn_maxcut_tpu.train import (
+    TrainingConfig,
+    setup_train_state,
+    make_epoch_fn,
+    train_model,
+    train_dataset,
+    evaluate_model,
+    save_checkpoint,
+    load_checkpoint,
+    checkpoint_name,
+)
+from gcn_maxcut_tpu.models import count_params
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    specs = [generate_graph(n=24, d=4, graph_type="reg", seed=s) for s in range(3)]
+    return process_graphs(specs, DataConfig(max_nodes=32))
+
+
+def _batch(ds):
+    return pad_graph_batch([ds.graphs[k] for k in sorted(ds.graphs)])
+
+
+def test_config_defaults():
+    cfg = TrainingConfig(n_nodes=100)
+    assert cfg.dim_embedding == 100
+    assert cfg.hidden_dim == 50
+    cfg2 = TrainingConfig(n_nodes=100, dim_embedding=64)
+    assert cfg2.hidden_dim == 32
+
+
+def test_setup_state_shapes(tiny_dataset):
+    cfg = TrainingConfig(n_nodes=32, number_classes=3)
+    state = setup_train_state(cfg)
+    assert state.params["conv1"]["w"].shape == (32, 16)
+    assert state.params["conv2"]["w"].shape == (16, 3)
+    assert state.params["embed"].shape == (32, 32)
+
+
+def test_epoch_fn_improves_loss(tiny_dataset):
+    cfg = TrainingConfig(
+        n_nodes=32, learning_rate=1e-2, number_epochs=1, seed=0
+    )
+    state = setup_train_state(cfg)
+    epoch_fn = make_epoch_fn(cfg, state.optimizer)
+    batch = _batch(tiny_dataset)
+    params, opt_state = state.params, state.opt_state
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(40):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = epoch_fn(params, opt_state, batch, sub)
+        losses.append(float(loss))
+    # loss = -sum of cuts: should clearly decrease (cut grows)
+    assert min(losses[20:]) < losses[0] - 1.0
+
+
+def test_train_model_early_stops_and_history(tiny_dataset):
+    cfg = TrainingConfig(
+        n_nodes=32,
+        learning_rate=1e-2,
+        number_epochs=300,
+        tolerance=1e-3,
+        patience=5,
+        save_frequency=1000,
+    )
+    batch = _batch(tiny_dataset)
+    params, best_loss, final_epoch, embed, history = train_model(batch, cfg)
+    assert len(history) == final_epoch + 1
+    assert final_epoch < 299  # early stopping triggered
+    assert best_loss <= min(history) + 1e-6
+    assert embed.shape == (32, 32)
+
+
+def test_train_dataset_wrapper_and_eval(tiny_dataset, tmp_path):
+    name = str(tmp_path / "tiny_model")
+    params, best_loss, epoch, _, history = train_dataset(
+        tiny_dataset,
+        model_name=name,
+        number_epochs=5,
+        save_frequency=2,
+        learning_rate=1e-2,
+    )
+    # periodic + final checkpoints exist
+    assert (tmp_path / f"final_{name.split('/')[-1]}.npz").exists() or any(
+        p.name.startswith("final_") for p in tmp_path.iterdir()
+    )
+    cfg = TrainingConfig(n_nodes=tiny_dataset.config.max_nodes)
+    metrics = evaluate_model(params, _batch(tiny_dataset), cfg)
+    assert metrics["num_graphs"] == 3
+    assert metrics["estimated_avg_cut"] == pytest.approx(
+        -metrics["average_loss"]
+    )
+    assert metrics["estimated_avg_cut"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = TrainingConfig(n_nodes=16, number_classes=3, seed=3)
+    state = setup_train_state(cfg)
+    path = save_checkpoint(
+        tmp_path / "ck",
+        params=state.params,
+        opt_state=state.opt_state,
+        epoch=7,
+        loss_history=[1.0, -2.0],
+        config=cfg,
+    )
+    params2, opt2, _, meta = load_checkpoint(
+        path, state.params, state.opt_state
+    )
+    assert meta["epoch"] == 7
+    assert meta["loss_history"] == [1.0, -2.0]
+    assert meta["config"].n_nodes == 16
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert count_params(params2) == count_params(state.params)
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    cfg = TrainingConfig(n_nodes=16)
+    state = setup_train_state(cfg)
+    path = save_checkpoint(tmp_path / "ck2", params=state.params)
+    bigger = setup_train_state(TrainingConfig(n_nodes=24))
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(path, bigger.params)
+
+
+def test_checkpoint_name_scheme():
+    assert checkpoint_name("m.pth") == "final_m.pth"
+    assert checkpoint_name("m.pth", 10, -12.34567) == "epoch_10_loss_-12.3457_m.pth"
+
+
+def test_embedding_feature_mode(tiny_dataset):
+    cfg = TrainingConfig(
+        n_nodes=32, feature_mode="embedding", learning_rate=1e-2, number_epochs=1
+    )
+    state = setup_train_state(cfg)
+    epoch_fn = make_epoch_fn(cfg, state.optimizer)
+    batch = _batch(tiny_dataset)
+    p0 = np.asarray(state.params["embed"]).copy()
+    params, _, loss = epoch_fn(
+        state.params, state.opt_state, batch, jax.random.PRNGKey(0)
+    )
+    # in embedding mode the table receives real gradients and must move
+    assert not np.allclose(p0, np.asarray(params["embed"]))
