@@ -41,6 +41,8 @@ def _device_graph(n: int, d: int, seed: int = 0) -> Graph:
     order = jnp.argsort(receivers, stable=True)
     senders, receivers = senders[order], receivers[order]
     e = senders.shape[0]
+    # receivers sorted with uniform degree d: row i owns slots [i*d, (i+1)*d)
+    ell_senders = senders.reshape(n, d)
     return Graph(
         senders=senders,
         receivers=receivers,
@@ -54,6 +56,9 @@ def _device_graph(n: int, d: int, seed: int = 0) -> Graph:
         node_mask=jnp.ones((n,), jnp.float32),
         n_nodes=jnp.asarray(n, jnp.int32),
         n_edges=jnp.asarray(e, jnp.int32),
+        ell_senders=ell_senders,
+        ell_weights=jnp.ones((n, d), jnp.float32),
+        ell_mask=jnp.ones((n, d), jnp.float32),
     )
 
 

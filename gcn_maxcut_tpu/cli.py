@@ -1,0 +1,301 @@
+"""Command-line driver — the replacement for the reference's notebook layer.
+
+The reference is driven by notebooks (SURVEY.md §2.8: no CLI, no main()).
+Here every recipe is a subcommand:
+
+  python -m gcn_maxcut_tpu generate --num-graphs 20 --min-nodes 500 ...
+  python -m gcn_maxcut_tpu train    --dataset ds.npz --model-name m ...
+  python -m gcn_maxcut_tpu test     --dataset test.npz --checkpoint final_m.npz
+  python -m gcn_maxcut_tpu solve    --n 100 --d 8 --time-limit 60
+  python -m gcn_maxcut_tpu bench    --what spmm|train|post
+  python -m gcn_maxcut_tpu pipeline --workdir out/   (the full
+      complete_training_pipeline.ipynb recipe: generate -> process ->
+      train -> evaluate -> baselines -> SUMMARY.md)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _cmd_generate(args) -> int:
+    from gcn_maxcut_tpu.data import (
+        DataConfig,
+        generate_graph_dataset,
+        process_graphs,
+        save_dataset,
+    )
+
+    graphs, _ = generate_graph_dataset(
+        num_graphs=args.num_graphs,
+        min_nodes=args.min_nodes,
+        max_nodes=args.max_nodes,
+        min_degree=args.min_degree,
+        max_degree=args.max_degree,
+        graph_type=args.graph_type,
+        base_seed=args.seed,
+    )
+    ds = process_graphs(graphs, DataConfig(max_nodes=args.pad_to))
+    save_dataset(ds, args.output)
+    print(f"wrote {len(ds)} graphs to {args.output}")
+    return 0
+
+
+def _cmd_train(args) -> int:
+    from gcn_maxcut_tpu.data import load_dataset
+    from gcn_maxcut_tpu.train import train_dataset
+
+    ds = load_dataset(args.dataset)
+    params, best_loss, epochs, _, history = train_dataset(
+        ds,
+        model_name=args.model_name,
+        number_epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        dropout=args.dropout,
+        patience=args.patience,
+        save_frequency=args.save_frequency,
+        seed=args.seed,
+    )
+    print(
+        json.dumps(
+            {"best_loss": best_loss, "epochs": epochs + 1, "final_loss": history[-1]}
+        )
+    )
+    return 0
+
+
+def _cmd_test(args) -> int:
+    import jax
+
+    from gcn_maxcut_tpu.data import load_dataset
+    from gcn_maxcut_tpu.eval import (
+        analyze_results,
+        print_analysis_report,
+        save_results,
+        test_multiple_graphs,
+    )
+    from gcn_maxcut_tpu.models import gcn_softmax_init
+    from gcn_maxcut_tpu.train import TrainingConfig, load_checkpoint, setup_train_state
+
+    ds = load_dataset(args.dataset)
+    sizes = (
+        [int(s) for s in args.sizes.split(",")]
+        if args.sizes
+        else sorted({s.n_nodes for s in ds.specs.values()})
+    )
+    cfg = TrainingConfig(n_nodes=ds.config.max_nodes)
+    state = setup_train_state(cfg)
+    params, _, _, meta = load_checkpoint(args.checkpoint, state.params)
+    results, by_size = test_multiple_graphs(
+        params, ds, sizes, post_processing_iterations=args.iterations
+    )
+    analysis = analyze_results(results, by_size, sizes)
+    print_analysis_report(analysis, sizes)
+    if args.output:
+        save_results(args.output, results, by_size, analysis, vars(args))
+        print(f"results saved to {args.output}")
+    return 0
+
+
+def _cmd_solve(args) -> int:
+    from gcn_maxcut_tpu.baselines import anytime_solver, randomized_k_way_maxcut
+    from gcn_maxcut_tpu.data import DataConfig, generate_graph, process_graphs
+
+    spec = generate_graph(n=args.n, d=args.d, graph_type="reg", seed=args.seed)
+    ds = process_graphs([spec], DataConfig(max_nodes=args.n))
+    g = ds.graphs[0]
+    res = anytime_solver(g, k=args.k, time_limit=args.time_limit, seed=args.seed)
+    _, rand_cut, _ = randomized_k_way_maxcut(g, args.k, 1000, seed=args.seed)
+    print(
+        json.dumps(
+            {
+                "n": args.n,
+                "d": args.d,
+                "k": args.k,
+                "method": res["method"],
+                "cut_value": res["cut_value"],
+                "solve_time_s": round(res["solve_time"], 3),
+                "randomized_cut": rand_cut,
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from gcn_maxcut_tpu.bench import (
+        bench_post_processing,
+        bench_spmm,
+        bench_train_epoch,
+    )
+
+    if args.what in ("spmm", "all"):
+        print(json.dumps({"spmm": bench_spmm(n=args.n, d=args.d)}, default=float))
+    if args.what in ("train", "all"):
+        print(json.dumps({"train": bench_train_epoch()}, default=float))
+    if args.what in ("post", "all"):
+        print(json.dumps({"post": bench_post_processing()}, default=float))
+    return 0
+
+
+def _cmd_pipeline(args) -> int:
+    """The complete_training_pipeline recipe end-to-end (SURVEY.md §2.8)."""
+    from gcn_maxcut_tpu.baselines import randomized_k_way_maxcut
+    from gcn_maxcut_tpu.data import (
+        DataConfig,
+        generate_graph_dataset,
+        process_graphs,
+        save_dataset,
+    )
+    from gcn_maxcut_tpu.eval import analyze_results, test_multiple_graphs
+    from gcn_maxcut_tpu.train import train_dataset
+    from gcn_maxcut_tpu.utils.timing import PhaseTimer
+    from gcn_maxcut_tpu.viz import HAS_MATPLOTLIB, plot_loss_history
+
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    timer = PhaseTimer()
+    name = f"maxcut_{args.classes}way_n{args.nodes}_d{args.min_degree}_{args.max_degree}"
+
+    with timer.phase("generation"):
+        graphs, _ = generate_graph_dataset(
+            args.num_graphs, args.nodes, args.nodes,
+            args.min_degree, args.max_degree, base_seed=args.seed,
+        )
+    with timer.phase("processing"):
+        ds = process_graphs(graphs, DataConfig(max_nodes=args.pad_to))
+        save_dataset(ds, workdir / f"{name}_dataset.npz")
+    with timer.phase("training"):
+        params, best_loss, epochs, _, history = train_dataset(
+            ds,
+            model_name=str(workdir / f"{name}_model"),
+            number_epochs=args.epochs,
+            learning_rate=args.learning_rate,
+            save_frequency=max(1, args.epochs // 5),
+            seed=args.seed,
+        )
+    with timer.phase("evaluation"):
+        test_graphs, _ = generate_graph_dataset(
+            max(2, args.num_graphs // 4), args.nodes, args.nodes,
+            args.min_degree, args.max_degree, base_seed=args.seed + 5000,
+        )
+        tds = process_graphs(test_graphs, DataConfig(max_nodes=args.pad_to))
+        results, by_size = test_multiple_graphs(
+            params, tds, [args.nodes], post_processing_iterations=200,
+            verbose=False,
+        )
+        analysis = analyze_results(results, by_size, [args.nodes])
+        rand = [
+            randomized_k_way_maxcut(tds.graphs[k], args.classes, 1000, seed=k)[1]
+            for k in sorted(tds.graphs)
+        ]
+
+    if HAS_MATPLOTLIB:
+        plot_loss_history(history, save_path=str(workdir / f"{name}_loss.png"))
+
+    avg_deg = float(
+        np.mean([2 * s.n_edges / s.n_nodes for s in ds.specs.values()])
+    )
+    summary = "\n".join(
+        [
+            f"# {name} — pipeline summary",
+            "",
+            f"Generated: {time.strftime('%Y-%m-%d %H:%M:%S')}",
+            "",
+            "## Dataset",
+            f"- Graphs: {len(ds)} (n={args.nodes}, d∈[{args.min_degree},{args.max_degree}], actual avg degree {avg_deg:.2f})",
+            f"- Padding: {args.pad_to}-wide features",
+            "",
+            "## Timing",
+            *(f"- {k}: {v:.2f} s" for k, v in timer.phases.items()),
+            "",
+            "## Training",
+            f"- Epochs: {epochs + 1}/{args.epochs}",
+            f"- Best loss: {best_loss:.1f}  (≈ cut {-best_loss:.0f} summed over graphs)",
+            "",
+            "## Evaluation (held-out graphs)",
+            f"- GCN argmax avg cut: {analysis['avg_simple_cut']:.1f}",
+            f"- GCN + post-processing avg cut: {analysis['avg_post_cut']:.1f} ({analysis['avg_improvement_pct']:+.1f}%)",
+            f"- Randomized baseline avg cut: {float(np.mean(rand)):.1f}",
+            f"- Post-processing overhead: {analysis['avg_overhead']:.1f}x",
+        ]
+    )
+    (workdir / f"{name}_SUMMARY.md").write_text(summary)
+    print(summary)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gcn_maxcut_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="generate + process a graph dataset")
+    g.add_argument("--num-graphs", type=int, default=20)
+    g.add_argument("--min-nodes", type=int, default=500)
+    g.add_argument("--max-nodes", type=int, default=500)
+    g.add_argument("--min-degree", type=int, default=6)
+    g.add_argument("--max-degree", type=int, default=8)
+    g.add_argument("--graph-type", default="reg")
+    g.add_argument("--pad-to", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=1000)
+    g.add_argument("--output", default="dataset.npz")
+    g.set_defaults(fn=_cmd_generate)
+
+    t = sub.add_parser("train", help="train GCNSoftmax on a dataset")
+    t.add_argument("--dataset", required=True)
+    t.add_argument("--model-name", default="maxcut_model")
+    t.add_argument("--epochs", type=int, default=1000)
+    t.add_argument("--learning-rate", type=float, default=1e-3)
+    t.add_argument("--dropout", type=float, default=0.0)
+    t.add_argument("--patience", type=int, default=20)
+    t.add_argument("--save-frequency", type=int, default=100)
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=_cmd_train)
+
+    e = sub.add_parser("test", help="evaluate a checkpoint on a dataset")
+    e.add_argument("--dataset", required=True)
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--sizes", default=None, help="comma-separated size buckets")
+    e.add_argument("--iterations", type=int, default=200)
+    e.add_argument("--output", default=None)
+    e.set_defaults(fn=_cmd_test)
+
+    s = sub.add_parser("solve", help="run the anytime solver on a random graph")
+    s.add_argument("--n", type=int, default=100)
+    s.add_argument("--d", type=int, default=8)
+    s.add_argument("--k", type=int, default=3)
+    s.add_argument("--time-limit", type=float, default=60.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=_cmd_solve)
+
+    b = sub.add_parser("bench", help="microbenchmarks")
+    b.add_argument("--what", choices=["spmm", "train", "post", "all"], default="all")
+    b.add_argument("--n", type=int, default=100_000)
+    b.add_argument("--d", type=int, default=8)
+    b.set_defaults(fn=_cmd_bench)
+
+    pl = sub.add_parser("pipeline", help="full generate->train->eval recipe")
+    pl.add_argument("--workdir", default="pipeline_out")
+    pl.add_argument("--num-graphs", type=int, default=20)
+    pl.add_argument("--nodes", type=int, default=500)
+    pl.add_argument("--min-degree", type=int, default=6)
+    pl.add_argument("--max-degree", type=int, default=8)
+    pl.add_argument("--pad-to", type=int, default=1000)
+    pl.add_argument("--classes", type=int, default=3)
+    pl.add_argument("--epochs", type=int, default=300)
+    pl.add_argument("--learning-rate", type=float, default=1e-3)
+    pl.add_argument("--seed", type=int, default=1000)
+    pl.set_defaults(fn=_cmd_pipeline)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,6 +59,14 @@ class Graph:
     node_mask: jnp.ndarray    # float32 [n_pad], 1 real / 0 padding
     n_nodes: jnp.ndarray      # int32 scalar
     n_edges: jnp.ndarray      # int32 scalar (directed count)
+    # ELL (padded per-row neighbor lists), the gather-only fast path for
+    # SpMM on TPU: the scatter in segment-sum measured 3x slower than pure
+    # row gathers on v5e, and symmetry makes the backward pass a gather too
+    # (ops/segment.py spmm_ell custom VJP).  None when rows exceed
+    # ELL_MAX_DEGREE (fallback to the COO segment-sum path).
+    ell_senders: jnp.ndarray | None = None   # int32 [n_pad, max_deg]
+    ell_weights: jnp.ndarray | None = None   # f32   [n_pad, max_deg], 0 pad
+    ell_mask: jnp.ndarray | None = None      # f32   [n_pad, max_deg]
 
     @property
     def n_pad(self) -> int:
@@ -69,6 +77,11 @@ class Graph:
         return self.senders.shape[-1]
 
 
+# Rows with degree above this skip the ELL fast path (padding an ELL table
+# to a huge max degree would waste more memory/compute than COO costs).
+ELL_MAX_DEGREE = 64
+
+
 def _build_padded_coo(
     src: np.ndarray,
     dst: np.ndarray,
@@ -76,8 +89,14 @@ def _build_padded_coo(
     n_nodes: int,
     n_pad: int,
     e_pad: int,
+    ell_width: int | None = None,
 ) -> Graph:
-    """Assemble a `Graph` from host-side directed COO arrays."""
+    """Assemble a `Graph` from host-side directed COO arrays.
+
+    ``ell_width``: ELL table width. None = this graph's max degree (when
+    ≤ ELL_MAX_DEGREE); 0 = disable ELL; an explicit positive width lets a
+    dataset share one width so its graphs stack into a batch.
+    """
     m = src.shape[0]
     if m > e_pad:
         raise ValueError(f"{m} directed edges do not fit in e_pad={e_pad}")
@@ -110,6 +129,28 @@ def _build_padded_coo(
     node_mask = np.zeros(n_pad, dtype=np.float32)
     node_mask[:n_nodes] = 1.0
 
+    # ELL tables (receiver-major neighbor lists) when degrees are bounded.
+    max_deg = int(degrees.max()) if m else 0
+    if ell_width is None:
+        ell_width = max_deg if 0 < max_deg <= ELL_MAX_DEGREE else 0
+    elif 0 < ell_width < max_deg:
+        raise ValueError(
+            f"ell_width={ell_width} < graph max degree {max_deg}"
+        )
+    ell_senders = ell_weights = ell_mask = None
+    if ell_width > 0:
+        ell_senders = np.zeros((n_pad, ell_width), dtype=np.int32)
+        ell_weights = np.zeros((n_pad, ell_width), dtype=np.float32)
+        ell_mask = np.zeros((n_pad, ell_width), dtype=np.float32)
+        slot = np.zeros(n_pad, dtype=np.int64)
+        for e in range(m):
+            r = dst[e]
+            j = slot[r]
+            ell_senders[r, j] = src[e]
+            ell_weights[r, j] = w[e]
+            ell_mask[r, j] = 1.0
+            slot[r] = j + 1
+
     return Graph(
         senders=jnp.asarray(senders),
         receivers=jnp.asarray(receivers),
@@ -120,6 +161,9 @@ def _build_padded_coo(
         node_mask=jnp.asarray(node_mask),
         n_nodes=jnp.asarray(n_nodes, dtype=jnp.int32),
         n_edges=jnp.asarray(m, dtype=jnp.int32),
+        ell_senders=None if ell_senders is None else jnp.asarray(ell_senders),
+        ell_weights=None if ell_weights is None else jnp.asarray(ell_weights),
+        ell_mask=None if ell_mask is None else jnp.asarray(ell_mask),
     )
 
 
@@ -131,6 +175,7 @@ def graph_from_edges(
     n_pad: int | None = None,
     e_pad: int | None = None,
     symmetrize: bool = True,
+    ell_width: int | None = None,
 ) -> Graph:
     """Build a padded `Graph` from an undirected edge list.
 
@@ -154,7 +199,8 @@ def graph_from_edges(
     n_pad = n_pad if n_pad is not None else round_up(n_nodes, 8)
     e_pad = e_pad if e_pad is not None else round_up(src.shape[0], 128)
     return _build_padded_coo(
-        src.astype(np.int32), dst.astype(np.int32), w, n_nodes, n_pad, e_pad
+        src.astype(np.int32), dst.astype(np.int32), w, n_nodes, n_pad, e_pad,
+        ell_width=ell_width,
     )
 
 
@@ -163,6 +209,7 @@ def graph_from_dense(
     *,
     n_pad: int | None = None,
     e_pad: int | None = None,
+    ell_width: int | None = None,
 ) -> Graph:
     """Build a `Graph` from a dense (possibly weighted) adjacency matrix.
 
@@ -177,7 +224,8 @@ def graph_from_dense(
     n_pad = n_pad if n_pad is not None else round_up(n, 8)
     e_pad = e_pad if e_pad is not None else round_up(max(1, src.shape[0]), 128)
     return _build_padded_coo(
-        src.astype(np.int32), dst.astype(np.int32), w, n, n_pad, e_pad
+        src.astype(np.int32), dst.astype(np.int32), w, n, n_pad, e_pad,
+        ell_width=ell_width,
     )
 
 

@@ -55,6 +55,10 @@ def random_regular_edges(n: int, d: int, seed: int | None = None, max_restarts: 
     Repeatedly draws a random perfect matching on the n·d stubs, restarting
     whenever only unsuitable pairs (self-loops / multi-edges) remain — the
     standard Steger–Wormald scheme, asymptotically uniform for small d.
+
+    For large n the C++ sampler (``native/graphtools.cpp``,
+    ``gt_random_regular``) is used when available; it implements the same
+    scheme (different RNG stream, same distribution).
     """
     if n * d % 2 != 0:
         raise ValueError(f"n*d must be even (n={n}, d={d})")
@@ -62,6 +66,20 @@ def random_regular_edges(n: int, d: int, seed: int | None = None, max_restarts: 
         raise ValueError(f"need 0 <= d < n (n={n}, d={d})")
     if d == 0:
         return np.empty((0, 2), dtype=np.int64)
+
+    if n >= 20_000:
+        try:
+            from gcn_maxcut_tpu.native import (
+                is_available,
+                random_regular_edges_native,
+            )
+
+            if is_available():
+                return random_regular_edges_native(
+                    n, d, seed=0 if seed is None else int(seed)
+                )
+        except Exception:  # native path is best-effort
+            pass
 
     rng = np.random.default_rng(seed)
     for _ in range(max_restarts):

@@ -132,6 +132,19 @@ def process_graphs(
     e_pad = round_up(
         max(2 * s.n_edges for s in normed.values()), config.edge_pad_multiple
     )
+    # Dataset-wide ELL width so every graph stacks into one batch pytree
+    # (mixed-degree datasets would otherwise get ragged ELL tables).
+    from gcn_maxcut_tpu.core.graph import ELL_MAX_DEGREE
+
+    max_deg = max(
+        (
+            int(np.bincount(s.edges.ravel(), minlength=s.n_nodes).max())
+            for s in normed.values()
+            if s.n_edges
+        ),
+        default=0,
+    )
+    ell_width = max_deg if 0 < max_deg <= ELL_MAX_DEGREE else 0
     graphs = {
         i: graph_from_edges(
             s.edges,
@@ -139,6 +152,7 @@ def process_graphs(
             weights=s.weights,
             n_pad=n_pad,
             e_pad=e_pad,
+            ell_width=ell_width,
         )
         for i, s in normed.items()
     }

@@ -369,7 +369,7 @@ def save_results(
         "model_config": clean(model_config or {}),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    path.write_text(json.dumps(package, indent=2))
+    path.write_text(json.dumps(package, indent=2, default=str))
     return path
 
 

@@ -1,0 +1,203 @@
+"""ctypes bindings for the native host toolkit (``native/graphtools.cpp``).
+
+Builds ``libgraphtools.so`` on first use (``make -C native``); every entry
+point has a pure-Python fallback elsewhere in the package
+(``data.generate.random_regular_edges``, ``parallel.partition_nodes_bfs``,
+``baselines.brute_force_maxcut``), so the framework works without a
+compiler — the native path is the fast lane for 10M-node-scale host work.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from gcn_maxcut_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libgraphtools.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared library; returns success."""
+    if _LIB_PATH.exists() and not force:
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        return _LIB_PATH.exists()
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        logger.warning("native build failed: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and not build():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    lib.gt_random_regular.restype = ctypes.c_int64
+    lib.gt_random_regular.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64, i32p, i32p,
+    ]
+    lib.gt_sort_by_receiver.restype = None
+    lib.gt_sort_by_receiver.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, f32p,
+    ]
+    lib.gt_bfs_partition.restype = None
+    lib.gt_bfs_partition.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
+    ]
+    lib.gt_brute_force_maxcut.restype = ctypes.c_double
+    lib.gt_brute_force_maxcut.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, f32p,
+        ctypes.c_int32, ctypes.c_int32, i32p,
+    ]
+    lib.gt_greedy_maxcut.restype = ctypes.c_double
+    lib.gt_greedy_maxcut.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, f32p,
+        ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def _i32(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(typ)
+
+
+def random_regular_edges_native(
+    n: int, d: int, seed: int = 0
+) -> Optional[np.ndarray]:
+    """Undirected edge list [m, 2] (src < dst), or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = n * d // 2
+    src = np.empty(m, dtype=np.int32)
+    dst = np.empty(m, dtype=np.int32)
+    got = lib.gt_random_regular(
+        n, d, seed,
+        _ptr(src, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(dst, ctypes.POINTER(ctypes.c_int32)),
+    )
+    if got < 0:
+        raise RuntimeError(f"native regular sampler failed (n={n}, d={d})")
+    edges = np.stack([src, dst], axis=1).astype(np.int64)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    return edges[order]
+
+
+def sort_by_receiver_native(
+    src: np.ndarray, dst: np.ndarray, n: int, w: np.ndarray | None = None
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        order = np.argsort(dst, kind="stable")
+        return src[order], dst[order], None if w is None else w[order]
+    s = _i32(src).copy()
+    d = _i32(dst).copy()
+    ww = None if w is None else np.ascontiguousarray(w, dtype=np.float32).copy()
+    lib.gt_sort_by_receiver(
+        s.shape[0], n,
+        _ptr(s, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(d, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(ww, ctypes.POINTER(ctypes.c_float)) if ww is not None else None,
+    )
+    return s, d, ww
+
+
+def bfs_partition_native(
+    src: np.ndarray, dst: np.ndarray, n: int, num_shards: int
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    s, d = _i32(src), _i32(dst)
+    owner = np.empty(n, dtype=np.int32)
+    lib.gt_bfs_partition(
+        n, s.shape[0],
+        _ptr(s, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(d, ctypes.POINTER(ctypes.c_int32)),
+        num_shards,
+        _ptr(owner, ctypes.POINTER(ctypes.c_int32)),
+    )
+    return owner.astype(np.int64)
+
+
+def brute_force_maxcut_native(
+    edges: np.ndarray, n: int, k: int = 3, num_fixed: int = 3,
+    weights: np.ndarray | None = None,
+) -> Optional[Tuple[np.ndarray, float]]:
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(edges[:, 0]), _i32(edges[:, 1])
+    w = (
+        None if weights is None
+        else np.ascontiguousarray(weights, dtype=np.float32)
+    )
+    asn = np.empty(n, dtype=np.int32)
+    val = lib.gt_brute_force_maxcut(
+        n, src.shape[0],
+        _ptr(src, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(dst, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(w, ctypes.POINTER(ctypes.c_float)) if w is not None else None,
+        k, num_fixed,
+        _ptr(asn, ctypes.POINTER(ctypes.c_int32)),
+    )
+    if val < 0:
+        raise ValueError("problem too large for native brute force")
+    return asn.astype(np.int64), float(val)
+
+
+def greedy_maxcut_native(
+    edges: np.ndarray, n: int, init_asn: np.ndarray, k: int = 3,
+    num_fixed: int = 3, weights: np.ndarray | None = None,
+    max_steps: int = 100_000,
+) -> Optional[Tuple[np.ndarray, float]]:
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(edges[:, 0]), _i32(edges[:, 1])
+    w = (
+        None if weights is None
+        else np.ascontiguousarray(weights, dtype=np.float32)
+    )
+    asn = _i32(init_asn).copy()
+    val = lib.gt_greedy_maxcut(
+        n, src.shape[0],
+        _ptr(src, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(dst, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(w, ctypes.POINTER(ctypes.c_float)) if w is not None else None,
+        k, num_fixed,
+        _ptr(asn, ctypes.POINTER(ctypes.c_int32)),
+        max_steps,
+    )
+    return asn.astype(np.int64), float(val)

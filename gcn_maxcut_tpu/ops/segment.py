@@ -38,8 +38,63 @@ def spmm_xla(g: Graph, x: jnp.ndarray, edge_weights: jnp.ndarray | None = None) 
     )
 
 
+@jax.custom_vjp
+def _ell_gather_sum(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """y[i] = Σ_j w[i, j] · x[nbr[i, j]] — gather-only SpMM (no scatter).
+
+    On TPU the scatter half of segment-sum measured ~3x slower than pure
+    row gathers (v5e), so the forward avoids it entirely; the custom VJP
+    exploits adjacency symmetry (undirected graphs store both directions
+    with equal weights) to make the backward a gather too:
+    dL/dx = Aᵀ·dy = A·dy.
+    """
+    return _ell_sum(x, nbr, w)
+
+
+def _ell_sum(x, nbr, w):
+    # d separate row-gathers (no [n, d, F] intermediate): measured the
+    # fastest formulation on v5e (273M vs 87M edges/s for gather+scatter).
+    d = nbr.shape[1]
+    out = w[:, 0:1] * x[nbr[:, 0]]
+    for j in range(1, d):
+        out = out + w[:, j : j + 1] * x[nbr[:, j]]
+    return out
+
+
+def _ell_fwd(x, nbr, w):
+    return _ell_sum(x, nbr, w), (nbr, w)
+
+
+def _ell_bwd(res, dy):
+    nbr, w = res
+    # symmetric adjacency: transpose SpMM == same SpMM
+    dx = _ell_sum(dy, nbr, w)
+    return dx, None, jnp.zeros_like(w)
+
+
+_ell_gather_sum.defvjp(_ell_fwd, _ell_bwd)
+
+
+def spmm_ell(g: Graph, x: jnp.ndarray, edge_weights_mode: str = "mask") -> jnp.ndarray:
+    """ELL fast-path SpMM.  ``edge_weights_mode``: 'mask' (unweighted
+    aggregation over real edges, the GraphConv case) or 'weights'."""
+    w = g.ell_mask if edge_weights_mode == "mask" else g.ell_weights
+    return _ell_gather_sum(x, g.ell_senders, w)
+
+
 def spmm(g: Graph, x: jnp.ndarray, edge_weights: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Dispatching SpMM: Pallas kernel when enabled, else XLA segment-sum."""
+    """Dispatching SpMM: ELL gather-only path when the graph carries ELL
+    tables and the request matches a stored weighting; Pallas kernel when
+    enabled; else XLA segment-sum.
+
+    NOTE: the ELL backward assumes a symmetric adjacency (always true for
+    graphs built with ``symmetrize=True``, the framework default).
+    """
+    if g.ell_senders is not None:
+        if edge_weights is None:
+            return spmm_ell(g, x, "mask")
+        if edge_weights is g.weights:
+            return spmm_ell(g, x, "weights")
     if _USE_PALLAS:
         from gcn_maxcut_tpu.ops import pallas_spmm
 

@@ -1,0 +1,198 @@
+"""Giant-graph training: one node-sharded graph across the mesh.
+
+BASELINE.json configs[3..4]: a single large regular graph (100k .. 10M
+nodes) with k-way terminals, trained with embedding-table features (the
+adjacency-as-features quirk is infeasible at this scale — the embedding is
+the reference's own `nn.Embedding` in its intended role).  Everything runs
+inside one ``shard_map``-ed jit step:
+
+  * features: per-shard embedding rows ``[n_shard, F]`` (sharded, trained);
+  * 2× ``sharded_gcn_conv`` with the ring halo-exchange SpMM (ppermute
+    overlap) + softmax head;
+  * terminal pinning on the owning shard (terminals are global nodes
+    0..k-1, which the contiguous partition places on shard 0);
+  * straight-through argmax + the relaxed cut loss evaluated directly on
+    the sharded edge groups with a second feature ring (``sharded_cut``);
+  * conv grads ``psum``-replicated, embedding grads stay sharded; one Adam
+    step per epoch.
+
+The same step compiles for any mesh size (tests use the virtual 8-device
+CPU mesh; multi-host TPU slices just change the mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gcn_maxcut_tpu.models.gcn import gcn_conv_init
+from gcn_maxcut_tpu.parallel.mesh import make_mesh
+from gcn_maxcut_tpu.parallel.partition import (
+    ShardedGraph,
+    local_shard,
+    shard_graph,
+    shard_specs,
+)
+from gcn_maxcut_tpu.parallel.spmm import make_sharded_spmm, sharded_gcn_conv
+from gcn_maxcut_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class GiantConfig:
+    num_classes: int = 3
+    dim_embedding: int = 128
+    hidden_dim: int = 64
+    learning_rate: float = 1e-3
+    number_epochs: int = 200
+    schedule: str = "ring"           # ring | allgather
+    seed: int = 0
+    log_every: int = 20
+
+
+def sharded_cut(
+    sg_shard: ShardedGraph,
+    s: jnp.ndarray,
+    axis_name: str = "graph",
+) -> jnp.ndarray:
+    """Relaxed cut Σ_E w·(1 − ⟨s_u, s_v⟩)/2 on sharded edge groups.
+
+    Same ring schedule as the SpMM: hop h scores the edge group whose
+    senders live h shards away, while ppermute ships the next hop's rows.
+    Returns the full-graph scalar (psum'd).
+    """
+    num_shards = jax.lax.psum(1, axis_name)
+    perm = [(i, (i - 1) % num_shards) for i in range(num_shards)]
+
+    total = jnp.zeros(())
+    buf = s
+    for h in range(num_shards):
+        nxt = jax.lax.ppermute(buf, axis_name, perm) if h + 1 < num_shards else buf
+        su = buf[sg_shard.senders[h]]                    # [e_group, k]
+        sv = s[sg_shard.receivers[h]]
+        same = jnp.sum(su * sv, axis=-1)
+        w = sg_shard.weights[h] * sg_shard.edge_mask[h]
+        total = total + jnp.sum(w * (sg_shard.edge_mask[h] - same * sg_shard.edge_mask[h]))
+        buf = nxt
+    return jax.lax.psum(total, axis_name) / 2.0
+
+
+def _pin_and_ste(probs: jnp.ndarray, axis_name: str, k: int) -> jnp.ndarray:
+    """Terminal pinning (shard 0 rows 0..k-1) + straight-through argmax."""
+    my = jax.lax.axis_index(axis_name)
+    rows = jnp.arange(probs.shape[0])[:, None]
+    cols = jnp.arange(k)[None, :]
+    onehot_rows = (rows == cols).astype(probs.dtype)
+    is_term = ((rows < k) & (my == 0)).astype(probs.dtype)
+    pinned = is_term * onehot_rows + (1.0 - is_term) * probs
+    pinned = jax.lax.stop_gradient(pinned - probs) + probs
+    hard = jax.nn.one_hot(jnp.argmax(pinned, axis=-1), k, dtype=probs.dtype)
+    return jax.lax.stop_gradient(hard - pinned) + pinned
+
+
+def make_giant_step(
+    sg: ShardedGraph,
+    mesh: Mesh,
+    config: GiantConfig,
+    optimizer: optax.GradientTransformation,
+    axis: str = "graph",
+):
+    """jit(step): one full forward/backward/Adam update. Returns step fn."""
+
+    def local_step(conv_params, embed, opt_state, sg_dev):
+        sgl = local_shard(sg_dev)
+
+        def loss_fn(conv_params, embed):
+            h = sharded_gcn_conv(
+                conv_params["conv1"]["w"], conv_params["conv1"]["b"],
+                sgl, embed[0], axis, config.schedule,
+            )
+            h = jax.nn.relu(h)
+            h = sharded_gcn_conv(
+                conv_params["conv2"]["w"], conv_params["conv2"]["b"],
+                sgl, h, axis, config.schedule,
+            )
+            probs = jax.nn.softmax(h, axis=-1)
+            onehot = _pin_and_ste(probs, axis, config.num_classes)
+            return -sharded_cut(sgl, onehot, axis)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            conv_params, embed
+        )
+        conv_grads = jax.lax.pmean(grads[0], axis)
+        embed_grads = grads[1]
+        updates, opt_state = optimizer.update(
+            (conv_grads, embed_grads), opt_state, (conv_params, embed)
+        )
+        conv_params, embed = optax.apply_updates((conv_params, embed), updates)
+        return conv_params, embed, opt_state, loss
+
+    smapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), shard_specs(sg, axis)),
+        out_specs=(P(), P(axis), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(lambda c, e, o: smapped(c, e, o, sg))
+
+
+def train_giant_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    n: int,
+    config: GiantConfig = GiantConfig(),
+    mesh: Mesh | None = None,
+    axis: str = "graph",
+) -> Dict[str, Any]:
+    """End-to-end: partition -> sharded training -> decoded cut value."""
+    mesh = mesh or make_mesh((axis,))
+    num_shards = int(np.prod(mesh.devices.shape))
+    sg, g2l = shard_graph(senders, receivers, n, num_shards)
+    n_shard = sg.n_shard
+
+    key = jax.random.PRNGKey(config.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    conv_params = {
+        "conv1": gcn_conv_init(k1, config.dim_embedding, config.hidden_dim),
+        "conv2": gcn_conv_init(k2, config.hidden_dim, config.num_classes),
+    }
+    embed = jax.random.normal(
+        k3, (num_shards, n_shard, config.dim_embedding), jnp.float32
+    )
+    embed = jax.device_put(embed, NamedSharding(mesh, P(axis)))
+    optimizer = optax.adam(config.learning_rate)
+    opt_state = optimizer.init((conv_params, embed))
+
+    step = make_giant_step(sg, mesh, config, optimizer, axis)
+
+    t0 = time.perf_counter()
+    history = []
+    for epoch in range(config.number_epochs):
+        conv_params, embed, opt_state, loss = step(conv_params, embed, opt_state)
+        if epoch % config.log_every == 0:
+            lf = float(loss)
+            history.append(lf)
+            logger.info("giant epoch %d: loss %.1f (cut %.0f)", epoch, lf, -lf)
+    final_loss = float(loss)
+    train_time = time.perf_counter() - t0
+
+    e_directed = int(senders.shape[0])
+    return {
+        "final_loss": final_loss,
+        "final_cut": -final_loss,
+        "total_edges": e_directed // 2,
+        "loss_history": history,
+        "train_time_s": train_time,
+        "epochs": config.number_epochs,
+        "edges_per_s": e_directed * config.number_epochs / train_time,
+        "num_shards": num_shards,
+    }

@@ -1,0 +1,243 @@
+// graphtools — native host-side graph toolkit for gcn_maxcut_tpu.
+//
+// The reference relies on external native code for everything heavy (DGL's
+// C++ kernels, the CPLEX binary; SURVEY.md §2).  Device compute here is
+// JAX/XLA/Pallas; this library covers the *host* side of the pipeline where
+// Python loops would dominate at the 10M-node scale of BASELINE.json
+// configs[3..4]:
+//
+//   * gt_random_regular  — Steger–Wormald pairing-model sampler of simple
+//                          d-regular graphs (replaces the NumPy sampler in
+//                          data/generate.py for large n; ~100x faster).
+//   * gt_sort_by_receiver— counting sort of a directed COO edge list
+//                          (CSR assembly for core.graph construction).
+//   * gt_bfs_partition   — BFS-grown balanced node blocks (METIS-style
+//                          locality) for parallel.partition.
+//   * gt_brute_force_maxcut — exhaustive small-n k-way max-cut with pinned
+//                          terminals (host-side oracle / solver).
+//   * gt_greedy_maxcut   — best-improvement flip local search (host
+//                          baseline for verifying device local search).
+//
+// Exposed as a plain C ABI consumed via ctypes (gcn_maxcut_tpu/native/).
+// Build: make -C native  (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// Sample a simple d-regular graph on n nodes. Writes n*d/2 undirected edges
+// as (src[i], dst[i]) with src < dst. Returns edge count, or -1 on failure
+// (n*d odd, d >= n, or restart budget exhausted).
+int64_t gt_random_regular(int64_t n, int32_t d, uint64_t seed,
+                          int32_t* src, int32_t* dst) {
+  if (n <= 0 || d < 0 || d >= n || (n * (int64_t)d) % 2 != 0) return -1;
+  if (d == 0) return 0;
+  const int64_t m_target = n * (int64_t)d / 2;
+  std::mt19937_64 rng(seed);
+
+  // edge hash set keyed by packed (lo, hi)
+  auto pack = [](int64_t a, int64_t b) { return (a << 32) | b; };
+
+  std::vector<int64_t> stubs;
+  stubs.reserve(n * (size_t)d);
+  for (int restart = 0; restart < 256; ++restart) {
+    stubs.clear();
+    for (int64_t v = 0; v < n; ++v)
+      for (int32_t j = 0; j < d; ++j) stubs.push_back(v);
+    std::shuffle(stubs.begin(), stubs.end(), rng);
+
+    std::unordered_set<int64_t> edges;
+    edges.reserve(m_target * 2);
+    bool stalled = false;
+    std::vector<int64_t> retry;
+    while (!stubs.empty()) {
+      retry.clear();
+      size_t fresh = 0;
+      for (size_t i = 0; i + 1 < stubs.size(); i += 2) {
+        int64_t a = stubs[i], b = stubs[i + 1];
+        int64_t lo = std::min(a, b), hi = std::max(a, b);
+        if (lo != hi && edges.insert(pack(lo, hi)).second) {
+          ++fresh;
+        } else {
+          retry.push_back(a);
+          retry.push_back(b);
+        }
+      }
+      if (retry.empty()) { stubs.clear(); break; }
+      if (fresh == 0 && retry.size() == stubs.size()) { stalled = true; break; }
+      stubs.swap(retry);
+      std::shuffle(stubs.begin(), stubs.end(), rng);
+    }
+    if (!stalled && (int64_t)edges.size() == m_target) {
+      int64_t i = 0;
+      for (int64_t key : edges) {
+        src[i] = (int32_t)(key >> 32);
+        dst[i] = (int32_t)(key & 0xffffffff);
+        ++i;
+      }
+      return m_target;
+    }
+  }
+  return -1;
+}
+
+// In-place counting sort of a directed COO list by receiver (stable).
+// w may be null. n is the node-id upper bound.
+void gt_sort_by_receiver(int64_t e, int64_t n, int32_t* src, int32_t* dst,
+                         float* w) {
+  std::vector<int64_t> count(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) count[dst[i] + 1]++;
+  for (int64_t v = 0; v < n; ++v) count[v + 1] += count[v];
+  std::vector<int32_t> s2(e), d2(e);
+  std::vector<float> w2(w ? e : 0);
+  std::vector<int64_t> pos(count.begin(), count.end() - 1);
+  for (int64_t i = 0; i < e; ++i) {
+    int64_t p = pos[dst[i]]++;
+    s2[p] = src[i];
+    d2[p] = dst[i];
+    if (w) w2[p] = w[i];
+  }
+  std::memcpy(src, s2.data(), e * sizeof(int32_t));
+  std::memcpy(dst, d2.data(), e * sizeof(int32_t));
+  if (w) std::memcpy(w, w2.data(), e * sizeof(float));
+}
+
+// BFS-grown balanced partition into num_shards blocks. Directed COO input
+// (both directions present). Writes owner[v] in [0, num_shards).
+void gt_bfs_partition(int64_t n, int64_t e, const int32_t* src,
+                      const int32_t* dst, int32_t num_shards,
+                      int32_t* owner) {
+  // CSR by src
+  std::vector<int64_t> indptr(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) indptr[src[i] + 1]++;
+  for (int64_t v = 0; v < n; ++v) indptr[v + 1] += indptr[v];
+  std::vector<int32_t> adj(e);
+  std::vector<int64_t> pos(indptr.begin(), indptr.end() - 1);
+  for (int64_t i = 0; i < e; ++i) adj[pos[src[i]]++] = dst[i];
+
+  const int64_t target = (n + num_shards - 1) / num_shards;
+  std::fill(owner, owner + n, -1);
+  int64_t next_seed = 0;
+  std::queue<int32_t> q;
+  for (int32_t shard = 0; shard < num_shards; ++shard) {
+    int64_t cnt = 0;
+    while (cnt < target) {
+      if (q.empty()) {
+        while (next_seed < n && owner[next_seed] != -1) ++next_seed;
+        if (next_seed >= n) break;
+        owner[next_seed] = shard;
+        q.push((int32_t)next_seed);
+        ++cnt;
+      }
+      int32_t v = q.front();
+      q.pop();
+      for (int64_t j = indptr[v]; j < indptr[v + 1]; ++j) {
+        int32_t u = adj[j];
+        if (owner[u] == -1 && cnt < target) {
+          owner[u] = shard;
+          ++cnt;
+          q.push(u);
+        }
+      }
+    }
+    std::queue<int32_t>().swap(q);
+  }
+  for (int64_t v = 0; v < n; ++v)
+    if (owner[v] == -1) owner[v] = num_shards - 1;
+}
+
+// Exhaustive k-way max-cut, terminals 0..num_fixed-1 pinned to their own
+// classes. Undirected COO (src < dst). Writes the optimum into best_asn,
+// returns its cut value (or -1 if k^(n-num_fixed) > 2^40).
+double gt_brute_force_maxcut(int32_t n, int64_t e, const int32_t* src,
+                             const int32_t* dst, const float* w, int32_t k,
+                             int32_t num_fixed, int32_t* best_asn) {
+  int32_t free_n = n - num_fixed;
+  double total = 1;
+  for (int32_t i = 0; i < free_n; ++i) {
+    total *= k;
+    if (total > 1099511627776.0) return -1;  // 2^40
+  }
+  std::vector<int32_t> asn(n), best(n);
+  for (int32_t i = 0; i < num_fixed; ++i) asn[i] = i;
+  double best_val = -1;
+  uint64_t codes = (uint64_t)total;
+  for (uint64_t code = 0; code < codes; ++code) {
+    uint64_t c = code;
+    for (int32_t i = 0; i < free_n; ++i) {
+      asn[num_fixed + i] = (int32_t)(c % k);
+      c /= k;
+    }
+    double val = 0;
+    for (int64_t j = 0; j < e; ++j)
+      if (asn[src[j]] != asn[dst[j]]) val += w ? w[j] : 1.0;
+    if (val > best_val) {
+      best_val = val;
+      best = asn;
+    }
+  }
+  std::copy(best.begin(), best.end(), best_asn);
+  return best_val;
+}
+
+// Best-improvement flip local search from the given assignment.
+// Terminals 0..num_fixed-1 never move. Returns the final cut value.
+double gt_greedy_maxcut(int32_t n, int64_t e, const int32_t* src,
+                        const int32_t* dst, const float* w, int32_t k,
+                        int32_t num_fixed, int32_t* asn, int64_t max_steps) {
+  // CSR over undirected edges (both directions)
+  std::vector<int64_t> indptr(n + 1, 0);
+  std::vector<int32_t> adj(2 * e);
+  std::vector<float> wts(2 * e);
+  for (int64_t i = 0; i < e; ++i) {
+    indptr[src[i] + 1]++;
+    indptr[dst[i] + 1]++;
+  }
+  for (int32_t v = 0; v < n; ++v) indptr[v + 1] += indptr[v];
+  {
+    std::vector<int64_t> pos(indptr.begin(), indptr.end() - 1);
+    for (int64_t i = 0; i < e; ++i) {
+      float ww = w ? w[i] : 1.0f;
+      adj[pos[src[i]]] = dst[i];
+      wts[pos[src[i]]++] = ww;
+      adj[pos[dst[i]]] = src[i];
+      wts[pos[dst[i]]++] = ww;
+    }
+  }
+  auto cut_of = [&]() {
+    double val = 0;
+    for (int64_t i = 0; i < e; ++i)
+      if (asn[src[i]] != asn[dst[i]]) val += w ? w[i] : 1.0;
+    return val;
+  };
+  std::vector<double> cw(k);
+  for (int64_t step = 0; step < max_steps; ++step) {
+    double best_gain = 1e-9;
+    int32_t best_v = -1, best_c = -1;
+    for (int32_t v = num_fixed; v < n; ++v) {
+      std::fill(cw.begin(), cw.end(), 0.0);
+      for (int64_t j = indptr[v]; j < indptr[v + 1]; ++j)
+        cw[asn[adj[j]]] += wts[j];
+      double cur = cw[asn[v]];
+      for (int32_t c = 0; c < k; ++c) {
+        double gain = cur - cw[c];
+        if (c != asn[v] && gain > best_gain) {
+          best_gain = gain;
+          best_v = v;
+          best_c = c;
+        }
+      }
+    }
+    if (best_v < 0) break;
+    asn[best_v] = best_c;
+  }
+  return cut_of();
+}
+
+}  // extern "C"

@@ -72,14 +72,17 @@ def test_receivers_sorted_and_row_ptr():
 
 
 def test_batching_stacks():
+    # shared ell_width: mixed-degree graphs must stack (ragged ELL caught
+    # live by the CLI pipeline with d in [4,6])
     gs = [
-        graph_from_dense(_random_adj(10, 0.3, s), n_pad=16, e_pad=256)
+        graph_from_dense(_random_adj(10, 0.3, s), n_pad=16, e_pad=256, ell_width=10)
         for s in range(3)
     ]
     batch = pad_graph_batch(gs)
     assert batch.senders.shape == (3, 256)
     assert batch.node_mask.shape == (3, 16)
     assert batch.n_nodes.shape == (3,)
+    assert batch.ell_senders.shape == (3, 16, 10)
 
 
 def test_batching_rejects_mixed_padding():

@@ -114,3 +114,49 @@ def test_ste_threshold():
     np.testing.assert_allclose(out, [0, 1, 1], atol=1e-6)
     grad = jax.grad(lambda x: jnp.sum(ste_threshold(x) * 2.0))(h)
     np.testing.assert_allclose(np.asarray(grad), [2, 2, 2], atol=1e-6)
+
+
+def test_ell_path_matches_segment_path():
+    g, a = _graph_and_dense(25, 0.3, 11)
+    assert g.ell_senders is not None
+    x = jnp.asarray(np.random.default_rng(12).normal(size=(g.n_pad, 6)), jnp.float32)
+    from gcn_maxcut_tpu.ops.segment import spmm, spmm_ell
+
+    np.testing.assert_allclose(
+        np.asarray(spmm_ell(g, x, "mask")), np.asarray(spmm_xla(g, x)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(spmm_ell(g, x, "weights")),
+        np.asarray(spmm_xla(g, x, edge_weights=g.weights)),
+        rtol=1e-5,
+    )
+
+
+def test_ell_custom_vjp_matches_autodiff():
+    import jax
+
+    g, a = _graph_and_dense(17, 0.4, 13)
+    x = jnp.asarray(np.random.default_rng(14).normal(size=(g.n_pad, 4)), jnp.float32)
+    from gcn_maxcut_tpu.ops.segment import spmm
+
+    g1 = jax.grad(lambda x_: jnp.sum(jnp.tanh(spmm(g, x_))))(x)
+    g2 = jax.grad(lambda x_: jnp.sum(jnp.tanh(spmm_xla(g, x_))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_ell_skipped_for_high_degree_rows():
+    # a star graph with degree > ELL_MAX_DEGREE falls back to COO-only
+    n = 80
+    adj = np.zeros((n, n), np.float32)
+    adj[0, 1:] = 1.0
+    adj[1:, 0] = 1.0
+    from gcn_maxcut_tpu.core.graph import ELL_MAX_DEGREE
+
+    assert n - 1 > ELL_MAX_DEGREE
+    g = graph_from_dense(adj)
+    assert g.ell_senders is None
+    x = jnp.ones((g.n_pad, 3), jnp.float32)
+    from gcn_maxcut_tpu.ops.segment import spmm
+
+    y = np.asarray(spmm(g, x))
+    assert y[0, 0] == n - 1  # hub aggregates all leaves
