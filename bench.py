@@ -21,16 +21,19 @@ def main():
     from gcn_maxcut_tpu.bench.microbench import (
         bench_post_processing,
         bench_spmm,
+        bench_spmm_banded,
         bench_train_epoch,
     )
 
     train = bench_train_epoch(epochs_timed=10)
     try:
         spmm = bench_spmm(n=100_000, d=8, feature_dim=128)
+        banded = bench_spmm_banded()
         post = bench_post_processing()
         print(
-            f"[bench] spmm fwd+bwd: {spmm['fwdbwd_edges_per_s']:.3e} edges/s "
-            f"({100 * spmm['fraction_of_roofline_fwdbwd']:.0f}% of v5e roofline); "
+            f"[bench] general spmm fwd+bwd: {spmm['fwdbwd_edges_per_s']:.3e} edges/s; "
+            f"banded pallas spmm fwd: {banded['fwd_edges_per_s']:.3e} edges/s "
+            f"({100 * banded['fraction_of_banded_roofline']:.0f}% of stream SoL); "
             f"post-processing 200 iters: {post['time_s'] * 1e3:.1f} ms",
             file=sys.stderr,
         )

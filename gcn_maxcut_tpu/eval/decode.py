@@ -75,6 +75,27 @@ def post_process(
 post_process_jit = jax.jit(post_process, static_argnames=("iterations", "num_terminals"))
 
 
+def refine_with_local_search(
+    g: Graph,
+    assignment: jnp.ndarray,
+    k: int = 3,
+    num_terminals: int = 3,
+    max_steps: int = 500,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy single-node flips from a decoded assignment to a local optimum.
+
+    The hybrid GNN + local-search decoder (no reference analog; opt-in):
+    starts from the argmax/post-processed assignment and applies
+    best-improvement moves on device.  Strictly improves the cut; costs one
+    ``lax.while_loop`` of O(E) steps.
+    """
+    from gcn_maxcut_tpu.baselines.local_search import greedy_flip_local_search
+
+    return greedy_flip_local_search(
+        g, assignment.astype(jnp.int32), k, num_terminals, max_steps
+    )
+
+
 def terminal_permutation_search(
     g: Graph, probs: jnp.ndarray, num_terminals: int = 3
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -51,6 +51,7 @@ def test_single_graph(
     key: jax.Array,
     post_processing_iterations: int = 200,
     terminals: Optional[List[int]] = None,
+    refine: bool = False,
 ) -> Dict[str, Any]:
     """Simple (argmax) and post-processed decode with timings.
 
@@ -75,10 +76,23 @@ def test_single_graph(
         post_cut.block_until_ready()
         post_time = time.perf_counter() - t0
 
+        refined: Dict[str, Any] = {}
+        if refine:
+            from gcn_maxcut_tpu.eval.decode import refine_with_local_search
+
+            t0 = time.perf_counter()
+            ref_asn, ref_cut = refine_with_local_search(g, post_asn)
+            ref_cut.block_until_ready()
+            refined = {
+                "refined_cut": float(ref_cut),
+                "refined_time": time.perf_counter() - t0,
+                "refined_assignment": np.asarray(ref_asn)[: int(g.n_nodes)],
+            }
+
         simple_cut = float(simple_cut)
         post_cut = float(post_cut)
         improvement = post_cut - simple_cut
-        return {
+        return refined | {
             "success": True,
             "nodes": int(g.n_nodes),
             "edges": int(g.n_edges) // 2,
@@ -112,6 +126,7 @@ def test_multiple_graphs(
     verbose: bool = True,
     seed: int = 0,
     size_tolerance: int = 5,
+    refine: bool = False,
 ) -> Tuple[List[Dict], Dict]:
     """Sweep the dataset, bucketing results by nearest configured size.
 
@@ -145,6 +160,7 @@ def test_multiple_graphs(
             sub,
             post_processing_iterations,
             terminals=dataset.specs[key_idx].terminals,
+            refine=refine,
         )
         if result["success"]:
             result.update({"graph_name": f"graph_{key_idx}", "graph_size": graph_size})

@@ -1,0 +1,188 @@
+"""Pallas TPU kernel: banded/circulant SpMM in one streaming pass.
+
+Arbitrary-row gathers do not lower efficiently on the TPU vector unit (the
+general SpMM path therefore uses XLA's gather over ELL tables,
+``ops/segment.py``).  But graphs with *locality* — circulant benchmark
+graphs from ``data.generate.regular_graph_on_device``, or any graph
+reordered by BFS/RCM/METIS into a band (``parallel.partition``) — have
+neighbor offsets bounded by a bandwidth ``W``:
+
+    y[i] = Σ_k  w[i, k] · x[(i + o_k) mod n]        |o_k| ≤ W.
+
+This kernel streams x through VMEM exactly once: grid over row blocks, a
+manually double-buffered DMA brings in the ``[B + 2W, F]`` window for block
+i+1 while block i computes its D statically-sliced shifted adds (pure VPU).
+Traffic = read x once + write y once — the speed-of-light for any SpMM —
+vs. the ~6 reads/row of the gather path.
+
+The custom VJP uses the circulant transpose (negated offsets, weights
+rolled by their own offset), so backward is the same kernel; for the
+symmetric graphs this framework builds, the shift set is ±o pairs and the
+operator is self-adjoint.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Row-block size: multiples of 8 sublanes; 1024×128 f32 = 512 KB per window
+# buffer slot (×2 slots, plus accumulator) stays well inside VMEM.
+DEFAULT_BLOCK = 1024
+
+
+def _banded_kernel(offsets, B, W, F, n_blocks, w_ref, x_hbm, out_ref, scratch, sems):
+    """Grid step i: compute y rows [iB, iB+B) from window [iB-W, iB+B+W).
+
+    The window is fetched as three contiguous DMAs straight out of x (no
+    wrap-padded copy of x is ever materialized):
+      A: rows [iB-W, iB)   — wraps to [n-W, n) at i == 0
+      M: rows [iB, iB+B)
+      C: rows [iB+B, iB+B+W) — wraps to [0, W) at i == n_blocks-1
+    double-buffered across grid steps (DMA for i+1 overlaps compute of i).
+    """
+    i = pl.program_id(0)
+    n = n_blocks * B
+    slot = jax.lax.rem(i, 2)
+    nxt_slot = jax.lax.rem(i + 1, 2)
+
+    def dmas(block_idx, into_slot):
+        base = block_idx * B
+        pre = jax.lax.rem(base - W + n, n)
+        post = jax.lax.rem(base + B, n)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pre, W), :],
+                scratch.at[into_slot, pl.ds(0, W), :],
+                sems.at[into_slot, 0],
+            ),
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(base, B), :],
+                scratch.at[into_slot, pl.ds(W, B), :],
+                sems.at[into_slot, 1],
+            ),
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(post, W), :],
+                scratch.at[into_slot, pl.ds(W + B, W), :],
+                sems.at[into_slot, 2],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for d in dmas(i + 1, nxt_slot):
+            d.start()
+
+    for d in dmas(i, slot):
+        d.wait()
+
+    x_win = scratch[slot]                      # [B + 2W, F]
+    acc = jnp.zeros((B, F), jnp.float32)
+    for k, o in enumerate(offsets):            # static unrolled shifts
+        src = x_win[W + o : W + o + B, :]
+        acc = acc + w_ref[:, k : k + 1] * src
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block"))
+def _banded_spmm_raw(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    offsets: tuple[int, ...],
+    block: int = DEFAULT_BLOCK,
+) -> jnp.ndarray:
+    n, F = x.shape
+    D = len(offsets)
+    W = int(max(abs(o) for o in offsets))
+    if n % block:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    if W > n:
+        raise ValueError(f"bandwidth {W} exceeds n={n}")
+    if W > block:
+        raise ValueError(f"bandwidth {W} must be <= block={block}")
+    n_blocks = n // block
+
+    kernel = functools.partial(
+        _banded_kernel, tuple(offsets), block, W, F, n_blocks
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x, manual 3-piece DMA
+        ],
+        out_specs=pl.BlockSpec(
+            (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, block + 2 * W, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(w, x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def banded_spmm(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    offsets: tuple[int, ...],
+    block: int = DEFAULT_BLOCK,
+) -> jnp.ndarray:
+    """y[i] = Σ_k w[i, k] · x[(i + o_k) mod n]   (Pallas streaming kernel).
+
+    ``x``: [n, F] features (n a multiple of ``block``); ``w``: [n, D]
+    per-row shift weights (use zeros to mask padded rows); ``offsets``:
+    static shift tuple.  Differentiable in x and w.
+    """
+    return _banded_spmm_raw(x, w, offsets, block)
+
+
+def _banded_fwd(x, w, offsets, block):
+    return _banded_spmm_raw(x, w, offsets, block), (x, w)
+
+
+def _banded_bwd(offsets, block, res, dy):
+    x, w = res
+    # transpose: y = Σ_k diag(w_k) S_{o_k} x  ⇒  Aᵀ = Σ_k S_{-o_k} diag(w_k);
+    # (Aᵀ dy)[i] = Σ_k w_k[(i + o_k)] · dy[(i + o_k)]  with offsets as-is is
+    # wrong — correct: (Aᵀ dy)[i] = Σ_k w_k[i - o_k] · dy[i - o_k], i.e. the
+    # same banded form with offsets negated and weights rolled by -o_k.
+    neg = tuple(-o for o in offsets)
+    # w'_k[i] = w_k[i - o_k]  ==  roll(w_k, +o_k)
+    w_t = jnp.stack(
+        [jnp.roll(w[:, k], o) for k, o in enumerate(offsets)], axis=1
+    )
+    dx = _banded_spmm_raw(dy, w_t, neg, block)
+    # dL/dw[i, k] = dy[i] · x[(i + o_k)]
+    dw = jnp.stack(
+        [jnp.sum(dy * jnp.roll(x, -o, axis=0), axis=1) for o in offsets],
+        axis=1,
+    )
+    return dx, dw
+
+
+banded_spmm.defvjp(_banded_fwd, _banded_bwd)
+
+
+def banded_spmm_xla(
+    x: jnp.ndarray, w: jnp.ndarray, offsets: Sequence[int]
+) -> jnp.ndarray:
+    """Reference XLA implementation (rolls) for parity tests/CPU."""
+    out = jnp.zeros_like(x)
+    for k, o in enumerate(offsets):
+        out = out + w[:, k : k + 1] * jnp.roll(x, -o, axis=0)
+    return out
