@@ -201,15 +201,15 @@ def bench_train_epoch(
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
-    params, opt_state, loss = epoch_fn(params, opt_state, batch, key)
-    jax.block_until_ready(loss)
+    params, opt_state, losses = epoch_fn(params, opt_state, batch, key)
+    jax.block_until_ready(losses)
     compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(epochs_timed):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = epoch_fn(params, opt_state, batch, sub)
-    jax.block_until_ready(loss)
+        params, opt_state, losses = epoch_fn(params, opt_state, batch, sub)
+    jax.block_until_ready(losses)
     epoch_time = (time.perf_counter() - t0) / epochs_timed
 
     ref_epoch_time = 171.81 / 486.0
@@ -218,7 +218,7 @@ def bench_train_epoch(
         "n": n,
         "epoch_time_s": epoch_time,
         "compile_time_s": compile_time,
-        "final_epoch_loss": float(loss),
+        "final_epoch_loss": float(losses[-1]),
         "reference_epoch_time_s": ref_epoch_time,
         "speedup_vs_reference": ref_epoch_time / epoch_time,
     }

@@ -137,10 +137,25 @@ def _cmd_bench(args) -> int:
 
     if args.what in ("spmm", "all"):
         print(json.dumps({"spmm": bench_spmm(n=args.n, d=args.d)}, default=float))
+    if args.what in ("banded", "all"):
+        from gcn_maxcut_tpu.bench.microbench import bench_spmm_banded
+
+        print(json.dumps({"banded": bench_spmm_banded()}, default=float))
     if args.what in ("train", "all"):
         print(json.dumps({"train": bench_train_epoch()}, default=float))
     if args.what in ("post", "all"):
         print(json.dumps({"post": bench_post_processing()}, default=float))
+    if args.what == "giant":
+        from gcn_maxcut_tpu.bench.giant_demo import train_banded_giant
+
+        res = train_banded_giant(
+            n=args.giant_nodes, d=args.d, epochs=args.giant_epochs
+        )
+        print(json.dumps({"giant": res}, default=float))
+    if args.what == "scaling":
+        from gcn_maxcut_tpu.bench.scaling import scaling_sweep
+
+        print(json.dumps({"scaling": scaling_sweep(n=args.n, d=args.d)}, default=float))
     return 0
 
 
@@ -275,9 +290,15 @@ def main(argv=None) -> int:
     s.set_defaults(fn=_cmd_solve)
 
     b = sub.add_parser("bench", help="microbenchmarks")
-    b.add_argument("--what", choices=["spmm", "train", "post", "all"], default="all")
+    b.add_argument(
+        "--what",
+        choices=["spmm", "banded", "train", "post", "giant", "scaling", "all"],
+        default="all",
+    )
     b.add_argument("--n", type=int, default=100_000)
     b.add_argument("--d", type=int, default=8)
+    b.add_argument("--giant-nodes", type=int, default=10_002_432)
+    b.add_argument("--giant-epochs", type=int, default=40)
     b.set_defaults(fn=_cmd_bench)
 
     pl = sub.add_parser("pipeline", help="full generate->train->eval recipe")

@@ -37,6 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK = 1024
 
 
+def _interpreting() -> bool:
+    """True inside ``pltpu.force_tpu_interpret_mode`` (tests on CPU), where
+    the lane-tiling DMA constraint does not apply."""
+    try:
+        from jax._src.pallas import pallas_call as _pc  # noqa: F401
+        from jax._src import config as _jcfg
+
+        return (
+            _jcfg.config.pallas_tpu_interpret_mode_context_manager.get_local()
+            is not None
+        )
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _banded_kernel(offsets, B, W, F, n_blocks, w_ref, x_hbm, out_ref, scratch, sems):
     """Grid step i: compute y rows [iB, iB+B) from window [iB-W, iB+B+W).
 
@@ -105,6 +120,11 @@ def _banded_spmm_raw(
     n, F = x.shape
     D = len(offsets)
     W = int(max(abs(o) for o in offsets))
+    if F % 128 and not _interpreting():
+        # TPU DMA slices need 128-aligned lanes; narrow arrays (e.g. the
+        # k=3 class dim) take the XLA rolls path — same math, no shape
+        # constraints.
+        return banded_spmm_xla(x, w, offsets)
     if n % block:
         raise ValueError(f"n={n} must be a multiple of block={block}")
     if W > n:
@@ -185,4 +205,119 @@ def banded_spmm_xla(
     out = jnp.zeros_like(x)
     for k, o in enumerate(offsets):
         out = out + w[:, k : k + 1] * jnp.roll(x, -o, axis=0)
+    return out
+
+
+# ---- unit-weight variant (all edge weights 1; no [n, D] weight table) ----
+
+def _banded_unit_kernel(offsets, B, W, F, n_blocks, x_hbm, out_ref, scratch, sems):
+    i = pl.program_id(0)
+    n = n_blocks * B
+    slot = jax.lax.rem(i, 2)
+    nxt_slot = jax.lax.rem(i + 1, 2)
+
+    def dmas(block_idx, into_slot):
+        base = block_idx * B
+        pre = jax.lax.rem(base - W + n, n)
+        post = jax.lax.rem(base + B, n)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pre, W), :],
+                scratch.at[into_slot, pl.ds(0, W), :],
+                sems.at[into_slot, 0],
+            ),
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(base, B), :],
+                scratch.at[into_slot, pl.ds(W, B), :],
+                sems.at[into_slot, 1],
+            ),
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(post, W), :],
+                scratch.at[into_slot, pl.ds(W + B, W), :],
+                sems.at[into_slot, 2],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for d in dmas(i + 1, nxt_slot):
+            d.start()
+
+    for d in dmas(i, slot):
+        d.wait()
+
+    x_win = scratch[slot]
+    acc = jnp.zeros((B, F), jnp.float32)
+    for o in offsets:
+        acc = acc + x_win[W + o : W + o + B, :]
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block"))
+def _banded_spmm_unit_raw(
+    x: jnp.ndarray, offsets: tuple[int, ...], block: int = DEFAULT_BLOCK
+) -> jnp.ndarray:
+    n, F = x.shape
+    W = int(max(abs(o) for o in offsets))
+    if F % 128 and not _interpreting():
+        return banded_spmm_unit_xla(x, offsets)
+    if n % block:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    if W > block:
+        raise ValueError(f"bandwidth {W} must be <= block={block}")
+    n_blocks = n // block
+    kernel = functools.partial(
+        _banded_unit_kernel, tuple(offsets), block, W, F, n_blocks
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, block + 2 * W, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def banded_spmm_unit(
+    x: jnp.ndarray, offsets: tuple[int, ...], block: int = DEFAULT_BLOCK
+) -> jnp.ndarray:
+    """y[i] = Σ_k x[(i + o_k) mod n]  — unit edge weights, no weight table.
+
+    The memory-lean path for exactly-regular circulant graphs (10M-node
+    configs: a [n, D] weight table would cost n·D·4 bytes for constant 1s).
+    Backward is the same kernel with negated offsets.
+    """
+    return _banded_spmm_unit_raw(x, offsets, block)
+
+
+def _banded_unit_fwd(x, offsets, block):
+    return _banded_spmm_unit_raw(x, offsets, block), None
+
+
+def _banded_unit_bwd(offsets, block, _, dy):
+    neg = tuple(-o for o in offsets)
+    return (_banded_spmm_unit_raw(dy, neg, block),)
+
+
+banded_spmm_unit.defvjp(_banded_unit_fwd, _banded_unit_bwd)
+
+
+def banded_spmm_unit_xla(x: jnp.ndarray, offsets: Sequence[int]) -> jnp.ndarray:
+    """XLA rolls reference for the unit-weight variant."""
+    out = jnp.zeros_like(x)
+    for o in offsets:
+        out = out + jnp.roll(x, -o, axis=0)
     return out

@@ -43,6 +43,9 @@ class TrainingConfig:
     use_penalty: bool = False              # reference keeps it commented out
     seed: int = 0
     log_every: Optional[int] = None        # defaults to save_frequency
+    epochs_per_call: int = 1               # >1 scans epochs inside one jit
+                                           # (amortizes host round-trips;
+                                           # early-stop granularity = chunk)
 
     def __post_init__(self):
         if self.dim_embedding is None:

@@ -31,10 +31,12 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from gcn_maxcut_tpu.core.graph import Graph, dense_adjacency, pad_graph_batch
@@ -127,14 +129,31 @@ def make_epoch_fn(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    @jax.jit
-    def epoch_fn(params, opt_state, batch: Graph, rng: jax.Array):
+    def one_epoch(params, opt_state, batch: Graph, rng: jax.Array):
         n_graphs = batch.n_nodes.shape[0]
         keys = jax.random.split(rng, n_graphs)
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), (batch, keys)
         )
         return params, opt_state, jnp.sum(losses)
+
+    @partial(jax.jit, static_argnames=("num_epochs",))
+    def epoch_fn(params, opt_state, batch: Graph, rng: jax.Array, num_epochs: int = 1):
+        """Run ``num_epochs`` epochs in one device call; returns the
+        per-epoch cumulative-loss vector.  num_epochs > 1 amortizes the
+        host round-trip (dominant on remote/tunneled devices) at the cost
+        of early-stop granularity."""
+
+        def body(carry, key):
+            params, opt_state = carry
+            params, opt_state, loss = one_epoch(params, opt_state, batch, key)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(rng, num_epochs)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        return params, opt_state, losses
 
     return epoch_fn
 
@@ -144,12 +163,17 @@ def train_model(
     config: TrainingConfig,
     state: TrainState | None = None,
     callback: Optional[Callable[[int, float], None]] = None,
+    resume_from: Optional[str] = None,
 ) -> Tuple[Any, float, int, jnp.ndarray, List[float]]:
     """Epoch loop with early stopping / best-restore / checkpoints.
 
     Mirrors reference ``train_model`` (:392-484) control flow; returns the
     same tuple shape ``(params, best_loss, final_epoch, embed, history)``.
     ``dataset_batch`` is the stacked `Graph` from `pad_graph_batch`.
+
+    ``resume_from``: checkpoint path for warm-start/crash recovery (the
+    reference's legacy ``train1`` warm-start, ``TrainingNeural_load.py:569``,
+    plus full optimizer-state + epoch + history restoration).
     """
     state = state or setup_train_state(config)
     epoch_fn = make_epoch_fn(config, state.optimizer)
@@ -160,6 +184,22 @@ def train_model(
     loss_history: List[float] = []
     patience_counter = 0
     prev_loss = float("inf")
+    start_epoch = 0
+    if resume_from is not None:
+        from gcn_maxcut_tpu.train.checkpoint import load_checkpoint
+
+        params, opt_state, _, meta = load_checkpoint(
+            resume_from, params, opt_state
+        )
+        loss_history = list(meta.get("loss_history") or [])
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        if loss_history:
+            prev_loss = loss_history[-1]
+            best_loss = min(loss_history)
+        logger.info(
+            "resumed from %s at epoch %d (history %d)",
+            resume_from, start_epoch, len(loss_history),
+        )
     rng = jax.random.PRNGKey(config.seed + 1)
 
     logger.info(
@@ -170,47 +210,64 @@ def train_model(
         config.number_classes,
     )
     start = time.time()
-    epoch = 0
-    for epoch in range(config.number_epochs):
+    epoch = start_epoch
+    stop = False
+    K = max(1, config.epochs_per_call)
+    while epoch < config.number_epochs and not stop:
+        chunk = min(K, config.number_epochs - epoch)
         rng, sub = jax.random.split(rng)
-        params, opt_state, cum_loss = epoch_fn(params, opt_state, dataset_batch, sub)
-        cumulative_loss = float(cum_loss)
-        loss_history.append(cumulative_loss)
+        params, opt_state, losses = epoch_fn(
+            params, opt_state, dataset_batch, sub, num_epochs=chunk
+        )
+        chunk_losses = [float(x) for x in np.asarray(losses)]
 
-        if epoch > 0 and (
-            cumulative_loss > prev_loss
-            or abs(prev_loss - cumulative_loss) <= config.tolerance
-        ):
-            patience_counter += 1
-            if patience_counter >= config.patience:
-                logger.info("early stopping at epoch %d", epoch)
-                break
+        for j, cumulative_loss in enumerate(chunk_losses):
+            e = epoch + j
+            loss_history.append(cumulative_loss)
+
+            if e > 0 and (
+                cumulative_loss > prev_loss
+                or abs(prev_loss - cumulative_loss) <= config.tolerance
+            ):
+                patience_counter += 1
+                if patience_counter >= config.patience:
+                    logger.info("early stopping at epoch %d", e)
+                    epoch = e
+                    stop = True
+                    break
+            else:
+                patience_counter = 0
+
+            if cumulative_loss < best_loss:
+                best_loss = cumulative_loss
+                # with epochs_per_call > 1 the restorable best is the
+                # chunk-end params (chunk-granular best tracking)
+                best_params = jax.tree_util.tree_map(lambda x: x, params)
+
+            prev_loss = cumulative_loss
+
+            if e % config.save_frequency == 0:
+                logger.info("epoch %d: cumulative loss %.6f", e, cumulative_loss)
+                if config.save_directory:
+                    save_checkpoint(
+                        checkpoint_name(
+                            config.save_directory, e, cumulative_loss
+                        ),
+                        params=params,
+                        opt_state=opt_state,
+                        epoch=e,
+                        loss_history=loss_history,
+                        config=config,
+                    )
+            if callback is not None:
+                callback(e, cumulative_loss)
         else:
-            patience_counter = 0
-
-        if cumulative_loss < best_loss:
-            best_loss = cumulative_loss
-            best_params = jax.tree_util.tree_map(lambda x: x, params)
-
-        prev_loss = cumulative_loss
-
-        if epoch % config.save_frequency == 0:
-            logger.info("epoch %d: cumulative loss %.6f", epoch, cumulative_loss)
-            if config.save_directory:
-                save_checkpoint(
-                    checkpoint_name(config.save_directory, epoch, cumulative_loss),
-                    params=params,
-                    opt_state=opt_state,
-                    epoch=epoch,
-                    loss_history=loss_history,
-                    config=config,
-                )
-        if callback is not None:
-            callback(epoch, cumulative_loss)
+            epoch += chunk
 
     if best_params is not None:
         params = best_params
 
+    final_epoch = len(loss_history) - 1
     logger.info(
         "training done in %.2fs, best loss %.6f", time.time() - start, best_loss
     )
@@ -219,13 +276,13 @@ def train_model(
             checkpoint_name(config.save_directory),
             params=params,
             opt_state=opt_state,
-            epoch=epoch,
+            epoch=final_epoch,
             loss_history=loss_history,
             config=config,
         )
         logger.info("final model saved to %s", final)
 
-    return params, best_loss, epoch, params.get("embed"), loss_history
+    return params, best_loss, final_epoch, params.get("embed"), loss_history
 
 
 def train_dataset(

@@ -76,10 +76,19 @@ def test_banded_vjp_math_matches_autodiff():
 
 
 def test_banded_rejects_bad_shapes():
-    x = jnp.ones((60, 4))
+    # wide (kernel-path) arrays hit the shape checks at trace time
+    x = jnp.ones((60, 128))
     w = jnp.ones((60, 2))
     with pytest.raises(ValueError, match="multiple of block"):
         _banded_spmm_raw(x, w, (1, -1), 16)
-    x2 = jnp.ones((64, 4))
-    with pytest.raises(ValueError, match="bandwidth"):
-        _banded_spmm_raw(x2, jnp.ones((64, 2)), (40, -40), 16)
+
+
+def test_banded_narrow_features_fall_back_to_xla():
+    # lane-tiling constraint: F not a multiple of 128 silently uses rolls
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(64, 4)), jnp.float32)
+    w = jnp.asarray(rng.random((64, 2)), jnp.float32)
+    y = _banded_spmm_raw(x, w, (1, -1), 16)
+    np.testing.assert_allclose(
+        np.asarray(y), _oracle(x, w, (1, -1)), rtol=1e-5
+    )

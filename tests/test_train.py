@@ -59,8 +59,8 @@ def test_epoch_fn_improves_loss(tiny_dataset):
     losses = []
     for i in range(40):
         rng, sub = jax.random.split(rng)
-        params, opt_state, loss = epoch_fn(params, opt_state, batch, sub)
-        losses.append(float(loss))
+        params, opt_state, ls = epoch_fn(params, opt_state, batch, sub)
+        losses.append(float(ls[0]))
     # loss = -sum of cuts: should clearly decrease (cut grows)
     assert min(losses[20:]) < losses[0] - 1.0
 
@@ -150,8 +150,59 @@ def test_embedding_feature_mode(tiny_dataset):
     epoch_fn = make_epoch_fn(cfg, state.optimizer)
     batch = _batch(tiny_dataset)
     p0 = np.asarray(state.params["embed"]).copy()
-    params, _, loss = epoch_fn(
+    params, _, _losses = epoch_fn(
         state.params, state.opt_state, batch, jax.random.PRNGKey(0)
     )
     # in embedding mode the table receives real gradients and must move
     assert not np.allclose(p0, np.asarray(params["embed"]))
+
+
+def test_train_resume_from_checkpoint(tiny_dataset, tmp_path):
+    from gcn_maxcut_tpu.train import train_model, save_checkpoint
+    from gcn_maxcut_tpu.train.loop import setup_train_state
+
+    batch = _batch(tiny_dataset)
+    cfg = TrainingConfig(
+        n_nodes=32, learning_rate=1e-2, number_epochs=6,
+        save_frequency=100, patience=50,
+    )
+    # phase 1: train 3 epochs, checkpoint manually
+    state = setup_train_state(cfg)
+    cfg3 = TrainingConfig(
+        n_nodes=32, learning_rate=1e-2, number_epochs=3,
+        save_frequency=100, patience=50,
+    )
+    params, _, ep3, _, hist3 = train_model(batch, cfg3, state=state)
+    ck = save_checkpoint(
+        tmp_path / "resume_ck",
+        params=params,
+        opt_state=state.opt_state,
+        epoch=ep3,
+        loss_history=hist3,
+        config=cfg3,
+    )
+    # phase 2: resume to epoch 6; history must extend, not restart
+    params2, best, ep6, _, hist6 = train_model(
+        batch, cfg, resume_from=str(ck)
+    )
+    assert ep6 == 5
+    assert len(hist6) == 6
+    assert hist6[:3] == hist3
+    # resumed training continued improving
+    assert hist6[-1] <= hist3[-1] + 1e-6
+
+
+def test_epochs_per_call_equivalent_history(tiny_dataset):
+    # chunked epochs must produce the same loss history as per-epoch calls
+    batch = _batch(tiny_dataset)
+    cfg1 = TrainingConfig(
+        n_nodes=32, learning_rate=1e-2, number_epochs=12,
+        save_frequency=100, patience=50, epochs_per_call=1,
+    )
+    cfgK = TrainingConfig(
+        n_nodes=32, learning_rate=1e-2, number_epochs=12,
+        save_frequency=100, patience=50, epochs_per_call=4,
+    )
+    _, _, _, _, h1 = train_model(batch, cfg1)
+    _, _, _, _, hK = train_model(batch, cfgK)
+    np.testing.assert_allclose(h1, hK, rtol=1e-5)
