@@ -156,3 +156,23 @@ def test_solver_balanced_sizes():
     assert sum(sizes) == 18
     assert max(sizes) - min(sizes) <= 1 + 18 % 3  # near-balanced
     assert res["cut_value"] > 0
+
+
+def test_analyze_benchmark_results(tmp_path):
+    from gcn_maxcut_tpu.baselines.analysis import analyze_benchmark_results
+
+    results = {
+        (100, 3): {"cut": 300.0, "time": 0.1},
+        (100, 4): {"cut": 320.0, "time": 0.12},
+        (200, 3): {"cut": 610.0, "time": 0.2},
+        (200, 4): {"cut": 640.0, "time": 0.22},
+    }
+    summary = analyze_benchmark_results(
+        results, degree=8, save_path=str(tmp_path / "bench.png")
+    )
+    assert summary["node_sizes"] == [100, 200]
+    assert summary["k_values"] == [3, 4]
+    np.testing.assert_allclose(
+        summary["by_k"][3]["normalized_cut"], [300 / 400, 610 / 800]
+    )
+    assert (tmp_path / "bench.png").exists()
