@@ -14,7 +14,45 @@ stderr only.
 """
 
 import json
+import os
+import subprocess
 import sys
+
+
+def _run_with_retries(max_attempts: int = 3, timeout_s: int = 900) -> int:
+    """The axon TPU tunnel occasionally hangs at device init (observed
+    ~1-in-2 this round).  Run the real bench in a child process with a
+    timeout and retry; forward only the child's final JSON line."""
+    for attempt in range(1, max_attempts + 1):
+        env = dict(os.environ, GCN_BENCH_CHILD="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] attempt {attempt} timed out after {timeout_s}s "
+                "(device-init hang); retrying",
+                file=sys.stderr,
+            )
+            continue
+        sys.stderr.write(proc.stderr)
+        json_lines = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode == 0 and json_lines:
+            print(json_lines[-1])
+            return 0
+        print(
+            f"[bench] attempt {attempt} failed (rc={proc.returncode}); retrying",
+            file=sys.stderr,
+        )
+    print("[bench] all attempts failed", file=sys.stderr)
+    return 1
 
 
 def main():
@@ -53,4 +91,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GCN_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_run_with_retries())

@@ -107,21 +107,20 @@ def train_banded_giant(
         )
         return params, opt_state, losses
 
-    # compile
+    # compile (host fetch forces completion — block_until_ready alone does
+    # not synchronize on remote/async runtimes)
     t0 = time.perf_counter()
     params, opt_state, losses = steps(params, opt_state, None)
-    jax.block_until_ready(losses)
-    compile_time = time.perf_counter() - t0
     history = [float(x) for x in np.asarray(losses)]
+    compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     done = epochs_per_call
     while done < epochs:
         params, opt_state, losses = steps(params, opt_state, None)
+        history += [float(x) for x in np.asarray(losses)]  # hard sync
         done += epochs_per_call
-    jax.block_until_ready(losses)
     steady = time.perf_counter() - t0
-    history += [float(x) for x in np.asarray(losses)]
     timed_epochs = max(1, done - epochs_per_call)
     epoch_time = steady / timed_epochs
 

@@ -26,6 +26,9 @@ logger = get_logger(__name__)
 
 
 def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
+    """Naive dispatch-loop timing.  UNRELIABLE on remote/async runtimes
+    where ``block_until_ready`` acks before completion (the axon tunnel) —
+    kept only for local backends; benches use `_scan_timeit`."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
@@ -33,6 +36,37 @@ def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def _scan_timeit(
+    op, x0, k_hi: int = 50, k_lo: int = 10, reps: int = 3
+) -> float:
+    """Trustworthy per-op time on any runtime: K chained applications of
+    ``op`` inside ONE jit (lax.scan), ended by a host scalar fetch; the
+    difference between K_hi and K_lo runs cancels dispatch/RTT overhead.
+
+    Validated against hardware peaks (8192³ bf16 matmul → 89% of v5e MXU
+    peak; 256 MB stream → 72% of HBM) — see docs/DESIGN.md timing note.
+    ``op`` must map x -> x (same shape/dtype).
+    """
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(x, k):
+        y, _ = jax.lax.scan(lambda c, _: (op(c), None), x, None, length=k)
+        return jnp.sum(y)
+
+    float(chain(x0, k_hi))  # compile both signatures
+    float(chain(x0, k_lo))
+    best = {}
+    for k in (k_hi, k_lo):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(x0, k))
+            ts.append(time.perf_counter() - t0)
+        best[k] = min(ts)
+    return max(1e-9, (best[k_hi] - best[k_lo]) / (k_hi - k_lo))
 
 
 def _device_graph(n: int, d: int, seed: int = 0) -> Graph:
@@ -73,11 +107,11 @@ def bench_spmm(
     g = _device_graph(n, d)
     x = jax.random.normal(jax.random.PRNGKey(1), (n, feature_dim), jnp.float32)
 
-    fwd = jax.jit(lambda x_: spmm(g, x_))
-    t_fwd = _timeit(fwd, x, iters=iters)
+    scale = 1.0 / d
+    t_fwd = _scan_timeit(lambda x_: spmm(g, x_) * scale, x)
 
-    grad_fn = jax.jit(jax.grad(lambda x_: jnp.sum(spmm(g, x_) ** 2)))
-    t_fwdbwd = _timeit(grad_fn, x, iters=iters)
+    grad_fn = jax.grad(lambda x_: jnp.sum(spmm(g, x_) ** 2))
+    t_fwdbwd = _scan_timeit(lambda x_: grad_fn(x_) * (scale * scale * 0.5), x)
 
     e = n * d
     model = RooflineModel(chip_specs(chip), feature_dim, n, e)
@@ -132,10 +166,10 @@ def bench_spmm_banded(
     x = jax.random.normal(jax.random.PRNGKey(1), (n, feature_dim), jnp.float32)
     w = jnp.ones((n, d), jnp.float32)
 
-    fwd = jax.jit(lambda x_: banded_spmm(x_, w, offsets))
-    t_fwd = _timeit(fwd, x, iters=iters)
-    grad_fn = jax.jit(jax.grad(lambda x_: jnp.sum(banded_spmm(x_, w, offsets) ** 2)))
-    t_fwdbwd = _timeit(grad_fn, x, iters=iters)
+    scale = 1.0 / d
+    t_fwd = _scan_timeit(lambda x_: banded_spmm(x_, w, offsets) * scale, x)
+    grad_fn = jax.grad(lambda x_: jnp.sum(banded_spmm(x_, w, offsets) ** 2))
+    t_fwdbwd = _scan_timeit(lambda x_: grad_fn(x_) * (scale * scale * 0.5), x)
 
     e = n * d
     model = RooflineModel(chip_specs(chip), feature_dim, n, e)
@@ -200,17 +234,32 @@ def bench_train_epoch(
     params, opt_state = state.params, state.opt_state
     key = jax.random.PRNGKey(0)
 
+    # amortized timing: K epochs inside ONE jit (epoch_fn's num_epochs
+    # scan), host fetch of the last loss forces real completion
+    k_hi, k_lo = max(20, 2 * epochs_timed), 5
     t0 = time.perf_counter()
-    params, opt_state, losses = epoch_fn(params, opt_state, batch, key)
-    jax.block_until_ready(losses)
+    _, _, losses = epoch_fn(params, opt_state, batch, key, num_epochs=k_lo)
+    float(losses[-1])
     compile_time = time.perf_counter() - t0
+    _, _, losses = epoch_fn(params, opt_state, batch, key, num_epochs=k_hi)
+    float(losses[-1])
 
-    t0 = time.perf_counter()
-    for i in range(epochs_timed):
-        key, sub = jax.random.split(key)
-        params, opt_state, losses = epoch_fn(params, opt_state, batch, sub)
-    jax.block_until_ready(losses)
-    epoch_time = (time.perf_counter() - t0) / epochs_timed
+    best = {}
+    for k in (k_hi, k_lo):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, losses = epoch_fn(
+                params, opt_state, batch, key, num_epochs=k
+            )
+            float(losses[-1])
+            ts.append(time.perf_counter() - t0)
+        best[k] = min(ts)
+    epoch_time = max(1e-9, (best[k_hi] - best[k_lo]) / (k_hi - k_lo))
+    # advance params for a meaningful final loss
+    params, opt_state, losses = epoch_fn(
+        params, opt_state, batch, key, num_epochs=k_hi
+    )
 
     ref_epoch_time = 171.81 / 486.0
     res = {
@@ -242,9 +291,32 @@ def bench_post_processing(
     probs = jax.nn.softmax(
         jax.random.normal(jax.random.PRNGKey(0), (g.n_pad, 3)), axis=-1
     )
-    pp = jax.jit(post_process, static_argnames=("iterations",))
-    key = jax.random.PRNGKey(1)
-    t = _timeit(lambda: pp(g, probs, key, iterations=iterations)[1], iters=iters)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(key, k):
+        def body(carry, _):
+            key, acc = carry
+            key, sub = jax.random.split(key)
+            _, cut = post_process(g, probs, sub, iterations=iterations)
+            return (key, acc + cut), None
+
+        (key, acc), _ = jax.lax.scan(body, (key, 0.0), None, length=k)
+        return acc
+
+    k_hi, k_lo = 400, 50
+    float(chain(jax.random.PRNGKey(1), k_hi))
+    float(chain(jax.random.PRNGKey(1), k_lo))
+    best = {}
+    for k in (k_hi, k_lo):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(jax.random.PRNGKey(1), k))
+            ts.append(time.perf_counter() - t0)
+        best[k] = min(ts)
+    t = max(1e-6, (best[k_hi] - best[k_lo]) / (k_hi - k_lo))
     res = {
         "n": n,
         "iterations": iterations,

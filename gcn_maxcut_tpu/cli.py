@@ -93,7 +93,9 @@ def _cmd_test(args) -> int:
     state = setup_train_state(cfg)
     params, _, _, meta = load_checkpoint(args.checkpoint, state.params)
     results, by_size = test_multiple_graphs(
-        params, ds, sizes, post_processing_iterations=args.iterations
+        params, ds, sizes,
+        post_processing_iterations=args.iterations,
+        refine=args.refine,
     )
     analysis = analyze_results(results, by_size, sizes)
     print_analysis_report(analysis, sizes)
@@ -278,6 +280,11 @@ def main(argv=None) -> int:
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--sizes", default=None, help="comma-separated size buckets")
     e.add_argument("--iterations", type=int, default=200)
+    e.add_argument(
+        "--refine",
+        action="store_true",
+        help="add on-device greedy-flip refinement after post-processing",
+    )
     e.add_argument("--output", default=None)
     e.set_defaults(fn=_cmd_test)
 

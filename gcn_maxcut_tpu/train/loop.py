@@ -64,14 +64,28 @@ class TrainState:
 
 
 def setup_train_state(config: TrainingConfig) -> TrainState:
-    """Model + embedding + single Adam over both (reference :311-339)."""
+    """Model + embedding + single Adam over both (reference :311-339).
+
+    In adjacency-feature mode the embedding receives no gradients (it is
+    created, checkpointed, but unused in the forward pass — the reference's
+    quirk, SURVEY.md §2.3).  torch's Adam skips params with ``grad=None``,
+    so the reference never pays optimizer traffic for it; ``optax.masked``
+    reproduces that (and saves ~3× the table size in HBM traffic per graph
+    step).  In embedding mode the table trains normally.
+    """
     key = jax.random.PRNGKey(config.seed)
     k_model, k_embed = jax.random.split(key)
     params = gcn_softmax_init(
         k_model, config.dim_embedding, config.hidden_dim, config.number_classes
     )
     params["embed"] = embedding_init(k_embed, config.n_nodes, config.dim_embedding)
-    optimizer = optax.adam(config.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    adam = optax.adam(config.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if config.feature_mode == "adjacency":
+        optimizer = optax.masked(
+            adam, {"conv1": True, "conv2": True, "embed": False}
+        )
+    else:
+        optimizer = adam
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, config, optimizer)
 

@@ -93,3 +93,43 @@ def test_batching_rejects_mixed_padding():
         assert False, "should raise"
     except ValueError:
         pass
+
+
+def test_rcm_reorder_bands_a_lattice():
+    import numpy as np
+    from gcn_maxcut_tpu.data.generate import GraphSpec
+    from gcn_maxcut_tpu.data.reorder import rcm_reorder, graph_bandwidth
+
+    # 8x8 grid graph, scrambled labels: RCM must recover a small bandwidth
+    side = 8
+    rng = np.random.default_rng(0)
+    scramble = rng.permutation(side * side)
+    edges = []
+    for r in range(side):
+        for c in range(side):
+            v = r * side + c
+            if c + 1 < side:
+                edges.append((scramble[v], scramble[v + 1]))
+            if r + 1 < side:
+                edges.append((scramble[v], scramble[v + side]))
+    edges = np.array([(min(a, b), max(a, b)) for a, b in edges], dtype=np.int64)
+    spec = GraphSpec(n_nodes=side * side, edges=edges, terminals=[0, 1, 2])
+
+    before = graph_bandwidth(spec.edges)
+    new, bw = rcm_reorder(spec)
+    assert bw < before
+    assert bw <= 2 * side  # grid RCM bandwidth ~ side
+    # structure preserved: same degree multiset
+    deg0 = np.bincount(spec.edges.ravel(), minlength=64)
+    deg1 = np.bincount(new.edges.ravel(), minlength=64)
+    assert sorted(deg0) == sorted(deg1)
+
+
+def test_rcm_cannot_band_expander():
+    from gcn_maxcut_tpu.data import generate_graph
+    from gcn_maxcut_tpu.data.reorder import is_bandable
+
+    spec = generate_graph(n=200, d=6, graph_type="reg", seed=0)
+    ok, bw = is_bandable(spec, max_bandwidth=32)
+    assert not ok  # random regular graphs are expanders
+    assert bw > 32

@@ -184,3 +184,29 @@ def test_dp_epoch_matches_loss_scale():
             params, opt_state, batch_sh, jax.random.PRNGKey(i + 1)
         )
     assert float(loss) < loss0
+
+
+def test_dp_epoch_deterministic():
+    # deterministic-collectives check (SURVEY §5.2): same seeds -> bitwise
+    # identical loss and params across two independent runs
+    specs = [generate_graph(n=16, d=4, seed=s) for s in range(8)]
+    ds = process_graphs(specs, DataConfig(max_nodes=16))
+    batch = pad_graph_batch([ds.graphs[k] for k in sorted(ds.graphs)])
+    cfg = TrainingConfig(n_nodes=16, learning_rate=1e-2)
+    mesh = make_mesh(("data",))
+    batch_sh = shard_batch_for_dp(batch, mesh)
+
+    results = []
+    for _ in range(2):
+        state = setup_train_state(cfg)
+        dp_fn = make_dp_epoch_fn(cfg, state.optimizer, mesh)
+        params, opt_state, loss = dp_fn(
+            state.params, state.opt_state, batch_sh, jax.random.PRNGKey(7)
+        )
+        for i in range(3):
+            params, opt_state, loss = dp_fn(
+                params, opt_state, batch_sh, jax.random.PRNGKey(i)
+            )
+        results.append((float(loss), np.asarray(params["conv1"]["w"])))
+    assert results[0][0] == results[1][0]
+    np.testing.assert_array_equal(results[0][1], results[1][1])
