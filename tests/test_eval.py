@@ -158,3 +158,34 @@ def test_save_load_results_roundtrip(tmp_path):
     loaded = load_results(p)
     assert loaded["analysis"]["total_tests"] == 1
     assert "timestamp" in loaded
+
+
+def test_refine_path_in_harness():
+    specs = [generate_graph(n=24, d=4, seed=21)]
+    ds = process_graphs(specs, DataConfig(max_nodes=32))
+    params = gcn_softmax_init(jax.random.PRNGKey(0), 32, 16, 3)
+    res = eval_single_graph(
+        params, ds.graphs[0], jax.random.PRNGKey(2), 30, refine=True
+    )
+    assert res["success"]
+    assert "refined_cut" in res and "refined_time" in res
+    # refinement never loses cut value
+    assert res["refined_cut"] >= res["post_cut"] - 1e-6
+    # refined assignment keeps terminals pinned
+    np.testing.assert_array_equal(res["refined_assignment"][:3], [0, 1, 2])
+
+
+def test_enhanced_baseline_stats():
+    from gcn_maxcut_tpu.data.enhanced import compute_baseline_stats
+
+    specs = [generate_graph(n=14, d=3, seed=22)]
+    ds = process_graphs(specs, DataConfig(max_nodes=16))
+    stats = compute_baseline_stats(
+        ds, randomized_iterations=100, solver_time_limit=5
+    )
+    rec = stats[0]
+    assert rec["n_nodes"] == 14
+    assert rec["randomized_cut"] > 0
+    assert rec["solver_cut"] >= rec["randomized_cut"] - 1e-6
+    assert "flow_min_cut_value" in rec
+    assert ds.baseline_stats is stats
