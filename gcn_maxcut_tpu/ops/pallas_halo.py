@@ -159,7 +159,7 @@ def halo_banded_spmm(
     offsets: tuple[int, ...],
     axis_name: str = "graph",
     block: int = DEFAULT_BLOCK,
-    collective_id: int = 3,
+    collective_id: int | None = None,
 ) -> jnp.ndarray:
     """Node-sharded banded SpMM with RDMA halo exchange (call inside
     ``shard_map``).  ``x``: this shard's ``[n_shard, F]`` rows; returns the
@@ -198,7 +198,8 @@ def halo_banded_spmm(
             pltpu.SemaphoreType.DMA((2,)),                    # recv sems
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=collective_id
+            has_side_effects=True,
+            **({"collective_id": collective_id} if collective_id is not None else {}),
         ),
     )(w, x)
 
@@ -209,7 +210,7 @@ def halo_banded_spmm_unit(
     offsets: tuple[int, ...],
     axis_name: str = "graph",
     block: int = DEFAULT_BLOCK,
-    collective_id: int = 3,
+    collective_id: int | None = None,
 ) -> jnp.ndarray:
     """Unit-weight halo SpMM, differentiable in x.
 
