@@ -20,6 +20,12 @@ validated under ``pltpu.force_tpu_interpret_mode`` on the virtual CPU mesh
 (which simulates remote DMAs); the same program targets real ICI on a TPU
 slice.
 
+Hardware status (round 1): only a single chip was available.  A D=1 mesh
+routes to the plain circulant kernel (loopback RDMA faults the real TPU
+runtime even though the interpret simulator accepts it); the multi-chip
+RDMA path is interpret-validated and awaits a real slice for hardware
+validation.
+
 Layout contract: global node i lives on shard i // n_shard at local row
 i mod n_shard (contiguous partition), and edges are circulant offsets
 |o| ≤ W ≤ block ≤ n_shard.  Weights are per-row ``w[n_shard, D]`` (zeros on
@@ -173,6 +179,13 @@ def halo_banded_spmm(
         raise ValueError(f"n_shard={n_local} must be a multiple of {block}")
     if W > block:
         raise ValueError(f"bandwidth {W} must be <= block={block}")
+    # Single-device mesh: loopback RDMA faults the real TPU runtime (the
+    # interpret simulator accepts it); the wrap semantics are exactly the
+    # circulant kernel, so use it directly.
+    if int(jax.lax.axis_size(axis_name)) == 1:
+        from gcn_maxcut_tpu.ops.pallas_banded import _banded_spmm_raw
+
+        return _banded_spmm_raw(x, w, offsets, block)
     n_blocks = n_local // block
 
     kernel = functools.partial(
