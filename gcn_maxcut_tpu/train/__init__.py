@@ -5,6 +5,7 @@ from gcn_maxcut_tpu.train.loop import (
     make_epoch_fn,
     train_model,
     train_dataset,
+    train_from_files,
     evaluate_model,
 )
 from gcn_maxcut_tpu.train.checkpoint import (
@@ -20,6 +21,7 @@ __all__ = [
     "make_epoch_fn",
     "train_model",
     "train_dataset",
+    "train_from_files",
     "evaluate_model",
     "save_checkpoint",
     "load_checkpoint",

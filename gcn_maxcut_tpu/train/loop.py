@@ -319,6 +319,32 @@ def train_dataset(
     return train_model(batch, config)
 
 
+def train_from_files(
+    dataset_paths: List[str],
+    model_name: str | None = None,
+    **config_kwargs,
+) -> Tuple[Any, float, int, jnp.ndarray, List[float]]:
+    """Train over several dataset files merged into one batch.
+
+    Parity with the reference's multi-pickle streaming epoch
+    (``train_single_epoch``'s ``dataset_files``, ``TrainingNeural.py:361-369``
+    and the legacy ``run_gnn_training2`` 3-file loop,
+    ``TrainingNeural_load.py:651-653``): datasets are loaded, re-padded to a
+    common shape, and trained as one stacked batch (same per-graph step
+    order; no host I/O inside the epoch).
+    """
+    from gcn_maxcut_tpu.data.io import load_dataset
+    from gcn_maxcut_tpu.data.process import process_graphs
+
+    datasets = [load_dataset(p) for p in dataset_paths]
+    specs = {}
+    for ds in datasets:
+        for _, spec in sorted(ds.specs.items()):
+            specs[len(specs)] = spec
+    merged = process_graphs(specs, datasets[0].config)
+    return train_dataset(merged, model_name=model_name, **config_kwargs)
+
+
 def evaluate_model(
     params: Any, dataset_batch: Graph, config: TrainingConfig
 ) -> Dict[str, float]:

@@ -206,3 +206,26 @@ def test_epochs_per_call_equivalent_history(tiny_dataset):
     _, _, _, _, h1 = train_model(batch, cfg1)
     _, _, _, _, hK = train_model(batch, cfgK)
     np.testing.assert_allclose(h1, hK, rtol=1e-5)
+
+
+def test_train_from_files_merges_datasets(tmp_path):
+    from gcn_maxcut_tpu.data import save_dataset
+    from gcn_maxcut_tpu.train.loop import train_from_files
+
+    for i in range(2):
+        specs = [
+            generate_graph(n=20, d=4, graph_type="reg", seed=10 * i + s)
+            for s in range(2)
+        ]
+        ds = process_graphs(specs, DataConfig(max_nodes=32))
+        save_dataset(ds, tmp_path / f"part{i}.npz")
+
+    params, best_loss, epochs, _, history = train_from_files(
+        [str(tmp_path / "part0.npz"), str(tmp_path / "part1.npz")],
+        number_epochs=5,
+        learning_rate=1e-2,
+        save_frequency=100,
+    )
+    assert best_loss < 0
+    # loss scale reflects all 4 graphs (sum over graphs)
+    assert len(history) == 5
