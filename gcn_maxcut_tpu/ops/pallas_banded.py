@@ -141,7 +141,7 @@ def _banded_spmm_raw(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x, manual 3-piece DMA
+            pl.BlockSpec(memory_space=pl.ANY),      # x, manual 3-piece DMA
         ],
         out_specs=pl.BlockSpec(
             (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -277,7 +277,7 @@ def _banded_spmm_unit_raw(
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),

@@ -196,7 +196,7 @@ def halo_banded_spmm(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
