@@ -7,8 +7,9 @@ TPU everything under ``jit`` needs static shapes, so this module provides a
 single canonical container: a padded COO/CSR edge list sorted by receiver,
 stored as a pytree of fixed-shape arrays.  The same container drives
 
-  * sparse neighborhood aggregation (SpMM via sorted segment-sum or the
-    Pallas kernel in ``ops/pallas_spmm.py``),
+  * sparse neighborhood aggregation (SpMM via the ELL gather path /
+    sorted segment-sum in ``ops/segment.py``, or the banded Pallas
+    kernel in ``ops/pallas_banded.py`` for locality-reordered graphs),
   * the edge-form differentiable cut loss (``objectives/cut_loss.py``),
   * on-device cut evaluation and post-processing sampling (``eval/``).
 
@@ -229,16 +230,22 @@ def graph_from_dense(
     )
 
 
-def dense_adjacency(g: Graph, width: int | None = None) -> jnp.ndarray:
+def dense_adjacency(
+    g: Graph, width: int | None = None, values: str = "weights"
+) -> jnp.ndarray:
     """Densify to ``[n_pad, width]`` (default ``width = n_pad``).
 
-    This reproduces the reference's padded adjacency-as-node-features quirk
-    (``graphExtender.py:28-48``: the n×max_nodes zero-extended adjacency is
-    the GCN input, ``TrainingNeural.py:373``).  Stays on device, O(E) writes.
+    With ``values="weights"`` this reproduces the reference's padded
+    adjacency-as-node-features quirk (``graphExtender.py:28-48``: the
+    n×max_nodes zero-extended adjacency is the GCN input,
+    ``TrainingNeural.py:373``).  ``values="mask"`` writes 1.0 per real edge —
+    the unweighted aggregation operator matching DGL GraphConv's default of
+    ignoring edge weights (used by the dense-MXU aggregation path).  Stays
+    on device, O(E) writes.
     """
     width = g.n_pad if width is None else width
     dense = jnp.zeros((g.n_pad, width), dtype=jnp.float32)
-    vals = g.weights * g.edge_mask
+    vals = g.weights * g.edge_mask if values == "weights" else g.edge_mask
     # Padding edges carry weight 0 and land at (n_pad-1, n_pad-1): harmless.
     cols = jnp.minimum(g.senders, width - 1)
     return dense.at[g.receivers, cols].add(vals)

@@ -7,8 +7,13 @@ edge list is sorted by receiver at construction (``core/graph.py``), so
 ``jax.ops.segment_sum(..., indices_are_sorted=True)`` lowers to an efficient
 scatter-add; gradients flow through the gather/scatter pair automatically.
 
-A hand-written Pallas kernel path with the same signature lives in
-``ops/pallas_spmm.py``; ``spmm`` dispatches between them.
+Hand-written Pallas kernels exist for the structured cases Mosaic can
+lower efficiently — ``ops/pallas_banded.py`` (bounded neighbor offsets:
+circulant or BFS/RCM/METIS locality-reordered graphs) and
+``ops/pallas_halo.py`` (multi-chip RDMA halo exchange).  Arbitrary
+row-gathers do not lower well in Mosaic (measured), so general random
+graphs stay on the ELL gather path below; small padded graphs can instead
+use the dense-MXU aggregation path (``models.gcn_conv_apply(a_dense=...)``).
 """
 
 from __future__ import annotations
@@ -17,10 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from gcn_maxcut_tpu.core.graph import Graph
-
-# Flipped to True by ops.pallas_spmm.enable_pallas() when the backend
-# supports the Mosaic kernels (TPU only).
-_USE_PALLAS = False
 
 
 def spmm_xla(g: Graph, x: jnp.ndarray, edge_weights: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -84,8 +85,7 @@ def spmm_ell(g: Graph, x: jnp.ndarray, edge_weights_mode: str = "mask") -> jnp.n
 
 def spmm(g: Graph, x: jnp.ndarray, edge_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Dispatching SpMM: ELL gather-only path when the graph carries ELL
-    tables and the request matches a stored weighting; Pallas kernel when
-    enabled; else XLA segment-sum.
+    tables and the request matches a stored weighting; else XLA segment-sum.
 
     NOTE: the ELL backward assumes a symmetric adjacency (always true for
     graphs built with ``symmetrize=True``, the framework default).
@@ -95,10 +95,6 @@ def spmm(g: Graph, x: jnp.ndarray, edge_weights: jnp.ndarray | None = None) -> j
             return spmm_ell(g, x, "mask")
         if edge_weights is g.weights:
             return spmm_ell(g, x, "weights")
-    if _USE_PALLAS:
-        from gcn_maxcut_tpu.ops import pallas_spmm
-
-        return pallas_spmm.spmm_pallas(g, x, edge_weights)
     return spmm_xla(g, x, edge_weights)
 
 

@@ -46,6 +46,12 @@ class TrainingConfig:
     epochs_per_call: int = 1               # >1 scans epochs inside one jit
                                            # (amortizes host round-trips;
                                            # early-stop granularity = chunk)
+    aggregation: str = "auto"              # "auto" | "sparse" | "dense":
+                                           # dense = neighborhood aggregation
+                                           # as an n_pad x n_pad MXU matmul
+                                           # (fastest for small padded
+                                           # graphs); auto picks dense when
+                                           # n_pad <= 2048
 
     def __post_init__(self):
         if self.dim_embedding is None:
@@ -56,6 +62,8 @@ class TrainingConfig:
             object.__setattr__(self, "log_every", self.save_frequency)
         if self.feature_mode not in ("adjacency", "embedding"):
             raise ValueError(f"unknown feature_mode {self.feature_mode!r}")
+        if self.aggregation not in ("auto", "sparse", "dense"):
+            raise ValueError(f"unknown aggregation {self.aggregation!r}")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -98,21 +98,60 @@ def _embed_rows(embed: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return jnp.pad(embed, ((0, n_pad - n_table), (0, 0)))
 
 
+def _resolve_dense_aggregation(
+    config: TrainingConfig, n_pad: int, n_graphs: int = 1
+) -> bool:
+    """Trace-time choice of the aggregation backend.
+
+    "dense" turns neighborhood aggregation into an ``n_pad x n_pad`` MXU
+    matmul (and, in adjacency-feature mode, reuses that matrix as the node
+    features with ``W1`` contracted over its first ``n_pad`` rows — the
+    remaining feature columns are identically zero).  Measured ~2x
+    end-to-end over the ELL gather path on the reference recipe (v5e,
+    20 x n500 graphs: 3.95 -> 1.96 ms/epoch).  "auto" picks dense for small
+    padded graphs where the densified batch stays well under HBM budget.
+    """
+    if config.aggregation == "dense":
+        return True
+    if config.aggregation == "sparse":
+        return False
+    return n_pad <= 2048 and n_graphs * n_pad * n_pad <= (1 << 27)
+
+
 def _graph_loss(
-    params: Any, g: Graph, config: TrainingConfig, dropout_rng: jax.Array
+    params: Any,
+    g: Graph,
+    config: TrainingConfig,
+    dropout_rng: jax.Array,
+    a_mask: jnp.ndarray | None = None,
+    a_feat: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Reference loss chain for one graph (``TrainingNeural.py:371-381``)."""
+    """Reference loss chain for one graph (``TrainingNeural.py:371-381``).
+
+    ``a_mask``/``a_feat``: optional pre-densified unweighted adjacency
+    (aggregation operator) and weighted adjacency (feature matrix), hoisted
+    out of the epoch scan by ``make_epoch_fn`` on the dense path.  The
+    feature matrix is ``[n_pad, min(n_pad, dim_embedding)]``: columns past
+    ``n_pad`` of the reference's ``n x max_nodes`` padded features are
+    identically zero, so ``x @ W1 == a_feat @ W1[:width]`` exactly.
+    """
+    conv1 = params["conv1"]
     if config.feature_mode == "adjacency":
-        x = dense_adjacency(g, width=config.dim_embedding)
+        if a_feat is not None:
+            x = a_feat
+            conv1 = dict(conv1, w=conv1["w"][: a_feat.shape[-1]])
+        else:
+            x = dense_adjacency(g, width=config.dim_embedding)
     else:
         x = _embed_rows(params["embed"], g.n_pad)
     probs = gcn_softmax_apply(
-        {"conv1": params["conv1"], "conv2": params["conv2"]},
+        {"conv1": conv1, "conv2": params["conv2"]},
         g,
         x,
         dropout=config.dropout,
         train=True,
         dropout_rng=dropout_rng,
+        a_dense=a_mask,
     )
     pinned = pin_terminals(probs)
     onehot = ste_argmax_onehot(pinned)
@@ -137,35 +176,50 @@ def make_epoch_fn(
 
     def step(carry, inp):
         params, opt_state = carry
-        g, key = inp
-        loss, grads = jax.value_and_grad(_graph_loss)(params, g, config, key)
+        g, key = inp["g"], inp["key"]
+        loss, grads = jax.value_and_grad(_graph_loss)(
+            params, g, config, key,
+            inp.get("a_mask"), inp.get("a_feat"),
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
-
-    def one_epoch(params, opt_state, batch: Graph, rng: jax.Array):
-        n_graphs = batch.n_nodes.shape[0]
-        keys = jax.random.split(rng, n_graphs)
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), (batch, keys)
-        )
-        return params, opt_state, jnp.sum(losses)
 
     @partial(jax.jit, static_argnames=("num_epochs",))
     def epoch_fn(params, opt_state, batch: Graph, rng: jax.Array, num_epochs: int = 1):
         """Run ``num_epochs`` epochs in one device call; returns the
         per-epoch cumulative-loss vector.  num_epochs > 1 amortizes the
         host round-trip (dominant on remote/tunneled devices) at the cost
-        of early-stop granularity."""
+        of early-stop granularity.
 
-        def body(carry, key):
+        On the dense-aggregation path the densified adjacency operators
+        are built ONCE here, outside both scans, and re-sliced per step —
+        they are loop invariants that XLA will not hoist across the nested
+        scans on its own."""
+        n_graphs = batch.n_nodes.shape[0]
+        n_pad = batch.degrees.shape[-1]
+        xs = {"g": batch}
+        if _resolve_dense_aggregation(config, n_pad, n_graphs):
+            xs["a_mask"] = jax.vmap(
+                lambda g: dense_adjacency(g, values="mask")
+            )(batch)
+            if config.feature_mode == "adjacency":
+                width = min(n_pad, config.dim_embedding)
+                xs["a_feat"] = jax.vmap(
+                    lambda g: dense_adjacency(g, width=width)
+                )(batch)
+
+        def one_epoch(carry, key):
             params, opt_state = carry
-            params, opt_state, loss = one_epoch(params, opt_state, batch, key)
-            return (params, opt_state), loss
+            keys = jax.random.split(key, n_graphs)
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), {**xs, "key": keys}
+            )
+            return (params, opt_state), jnp.sum(losses)
 
         keys = jax.random.split(rng, num_epochs)
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), keys
+            one_epoch, (params, opt_state), keys
         )
         return params, opt_state, losses
 
