@@ -130,6 +130,57 @@ def _cmd_solve(args) -> int:
     return 0
 
 
+def _cmd_convert(args) -> int:
+    """Migrate checkpoints: reference ``.pth`` <-> our ``.npz``."""
+    import json as _json
+
+    import numpy as np
+
+    from gcn_maxcut_tpu.train import (
+        TrainingConfig,
+        load_checkpoint,
+        load_torch_checkpoint,
+        save_checkpoint,
+        save_torch_checkpoint,
+        setup_train_state,
+    )
+
+    src, dst = args.input, args.output
+    if src.endswith((".pth", ".pt")):
+        params, _, meta = load_torch_checkpoint(src)
+        cfg = meta.get("config") or TrainingConfig()
+        state = setup_train_state(cfg)
+        params2, opt_state, meta = load_torch_checkpoint(
+            src, optimizer=state.optimizer, params_template=state.params
+        )
+        if "embed" not in params2:          # keep template embedding
+            params2["embed"] = state.params["embed"]
+        out = save_checkpoint(
+            dst, params=params2, opt_state=opt_state or state.opt_state,
+            epoch=meta.get("epoch", 0),
+            loss_history=meta.get("loss_history"), config=cfg,
+        )
+        print(_json.dumps({"converted": str(out), "direction": "torch->npz",
+                           "epoch": meta.get("epoch", 0)}))
+    else:
+        with np.load(src if src.endswith(".npz") else src + ".npz") as d:
+            meta_raw = _json.loads(bytes(d["_meta"]).decode())
+        cfg = (TrainingConfig.from_json(meta_raw["config"])
+               if meta_raw.get("config") else TrainingConfig())
+        state = setup_train_state(cfg)
+        params, opt_state, _, meta = load_checkpoint(
+            src, state.params, state.opt_state
+        )
+        out = save_torch_checkpoint(
+            dst, params, epoch=meta.get("epoch", 0),
+            loss_history=meta.get("loss_history"), config=cfg,
+            opt_state=opt_state,
+        )
+        print(_json.dumps({"converted": str(out), "direction": "npz->torch",
+                           "epoch": meta.get("epoch", 0)}))
+    return 0
+
+
 def _cmd_bench(args) -> int:
     from gcn_maxcut_tpu.bench import (
         bench_post_processing,
@@ -295,6 +346,14 @@ def main(argv=None) -> int:
     s.add_argument("--time-limit", type=float, default=60.0)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=_cmd_solve)
+
+    c = sub.add_parser(
+        "convert",
+        help="migrate checkpoints between reference .pth and our .npz",
+    )
+    c.add_argument("input", help="source checkpoint (.pth/.pt or .npz)")
+    c.add_argument("output", help="destination checkpoint path")
+    c.set_defaults(fn=_cmd_convert)
 
     b = sub.add_parser("bench", help="microbenchmarks")
     b.add_argument(

@@ -13,6 +13,11 @@ from gcn_maxcut_tpu.train.checkpoint import (
     load_checkpoint,
     checkpoint_name,
 )
+from gcn_maxcut_tpu.train.torch_compat import (
+    load_torch_checkpoint,
+    save_torch_checkpoint,
+    config_from_torch,
+)
 
 __all__ = [
     "TrainingConfig",
@@ -26,4 +31,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "checkpoint_name",
+    "load_torch_checkpoint",
+    "save_torch_checkpoint",
+    "config_from_torch",
 ]
