@@ -4,6 +4,7 @@ from gcn_maxcut_tpu.bench.microbench import (
     bench_train_epoch,
     bench_post_processing,
 )
+from gcn_maxcut_tpu.bench.kway_sweep import kway_sweep
 
 __all__ = [
     "RooflineModel",
@@ -11,4 +12,5 @@ __all__ = [
     "bench_spmm",
     "bench_train_epoch",
     "bench_post_processing",
+    "kway_sweep",
 ]

@@ -209,6 +209,11 @@ def _cmd_bench(args) -> int:
         from gcn_maxcut_tpu.bench.scaling import scaling_sweep
 
         print(json.dumps({"scaling": scaling_sweep(n=args.n, d=args.d)}, default=float))
+    if args.what == "kway":
+        from gcn_maxcut_tpu.bench.kway_sweep import kway_sweep
+
+        res = kway_sweep(n=args.n, d=args.d, epochs=args.giant_epochs)
+        print(json.dumps({"kway": res}, default=float))
     return 0
 
 
@@ -358,7 +363,7 @@ def main(argv=None) -> int:
     b = sub.add_parser("bench", help="microbenchmarks")
     b.add_argument(
         "--what",
-        choices=["spmm", "banded", "train", "post", "giant", "scaling", "all"],
+        choices=["spmm", "banded", "train", "post", "giant", "scaling", "kway", "all"],
         default="all",
     )
     b.add_argument("--n", type=int, default=100_000)
