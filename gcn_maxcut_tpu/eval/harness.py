@@ -34,8 +34,10 @@ logger = get_logger(__name__)
 @jax.jit
 def _forward(params, g: Graph):
     x = dense_adjacency(g, width=params["conv1"]["w"].shape[0])
+    # dense-MXU aggregation for small padded graphs (same rule as training)
+    a = dense_adjacency(g, values="mask") if g.n_pad <= 2048 else None
     return gcn_softmax_apply(
-        {"conv1": params["conv1"], "conv2": params["conv2"]}, g, x
+        {"conv1": params["conv1"], "conv2": params["conv2"]}, g, x, a_dense=a
     )
 
 

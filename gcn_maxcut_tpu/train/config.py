@@ -46,6 +46,14 @@ class TrainingConfig:
     epochs_per_call: int = 1               # >1 scans epochs inside one jit
                                            # (amortizes host round-trips;
                                            # early-stop granularity = chunk)
+    step_mode: str = "per_graph"           # "per_graph" (reference parity:
+                                           # one Adam step per graph, epochs
+                                           # are sequential scans) |
+                                           # "batched" (TPU-idiomatic: one
+                                           # Adam step per epoch on the
+                                           # summed loss over the vmapped
+                                           # batch — graphs run in parallel
+                                           # on the MXU)
     aggregation: str = "auto"              # "auto" | "sparse" | "dense":
                                            # dense = neighborhood aggregation
                                            # as an n_pad x n_pad MXU matmul
@@ -64,6 +72,8 @@ class TrainingConfig:
             raise ValueError(f"unknown feature_mode {self.feature_mode!r}")
         if self.aggregation not in ("auto", "sparse", "dense"):
             raise ValueError(f"unknown aggregation {self.aggregation!r}")
+        if self.step_mode not in ("per_graph", "batched"):
+            raise ValueError(f"unknown step_mode {self.step_mode!r}")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

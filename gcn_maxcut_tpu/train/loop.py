@@ -212,6 +212,24 @@ def make_epoch_fn(
         def one_epoch(carry, key):
             params, opt_state = carry
             keys = jax.random.split(key, n_graphs)
+            if config.step_mode == "batched":
+                # one Adam step per epoch: the whole batch runs in parallel
+                # under vmap (MXU-batched GEMMs), gradients summed — the
+                # TPU-idiomatic mode; "per_graph" scans sequential steps
+                # for exact reference-semantics parity.
+                def total_loss(params):
+                    losses = jax.vmap(
+                        lambda inp: _graph_loss(
+                            params, inp["g"], config, inp["key"],
+                            inp.get("a_mask"), inp.get("a_feat"),
+                        )
+                    )({**xs, "key": keys})
+                    return jnp.sum(losses)
+
+                loss, grads = jax.value_and_grad(total_loss)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), {**xs, "key": keys}
             )
@@ -414,8 +432,11 @@ def evaluate_model(
                 x = dense_adjacency(g, width=config.dim_embedding)
             else:
                 x = _embed_rows(params["embed"], g.n_pad)
+            a = (dense_adjacency(g, values="mask")
+                 if _resolve_dense_aggregation(config, g.n_pad) else None)
             probs = gcn_softmax_apply(
-                {"conv1": params["conv1"], "conv2": params["conv2"]}, g, x
+                {"conv1": params["conv1"], "conv2": params["conv2"]}, g, x,
+                a_dense=a,
             )
             onehot = ste_argmax_onehot(pin_terminals(probs))
             return compute_loss(g, onehot, A=config.A, C=config.C)
