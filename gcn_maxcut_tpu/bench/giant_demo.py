@@ -144,3 +144,181 @@ def train_banded_giant(
         final_cut, e_undirected, 100 * res["cut_fraction"],
     )
     return res
+
+
+# ---- wide interleaved-layout variant ------------------------------------
+#
+# The plain demo above aggregates at logical widths 16 and 3, which fall
+# off the Pallas row-window kernel onto XLA rolls (~54 GB/s measured on
+# v5e).  This variant keeps every array in the interleaved node order of
+# ``ops.pallas_banded.banded_spmm_unit_packed`` and CARRIES THE WIDE
+# [m, r·F] SHAPE everywhere (narrow<->wide reshapes across jit boundaries
+# trigger physical relayouts — measured), so all three per-epoch
+# aggregations stream at full bandwidth:
+#
+#   * GEMMs run as [m, r·F_in] @ kron(I_r, W): r× redundant FLOPs, but the
+#     MXU is idle in this memory-bound epoch (r=8: ~80 GFLOP, <1 ms);
+#   * per-node ops (softmax over classes, STE argmax, terminal pinning)
+#     become group-of-16-lane ops via reduce_window + repeat;
+#   * classes are padded 3 -> 16 with a -inf lane mask, so the class
+#     arrays also ride the 128-lane fast path.
+#
+# Node identity: position p = j·r + u is node u·m + j; terminals are the
+# nodes at positions 0, 1, 2 (i.e. nodes {0, m, 2m} — any 3 distinct nodes
+# are a valid terminal set, and the cut objective is order-agnostic).
+
+
+def _group_max(h, g=16):
+    return jax.lax.reduce_window(
+        h, -jnp.inf, jax.lax.max, (1, g), (1, g), "VALID"
+    )
+
+
+def _group_sum(h, g=16):
+    return jax.lax.reduce_window(h, 0.0, jax.lax.add, (1, g), (1, g), "VALID")
+
+
+def _bcast(g16, g=16):
+    return jnp.repeat(g16, g, axis=1)
+
+
+def train_banded_giant_packed(
+    n: int = 10_002_432,
+    d: int = 8,
+    dim_embedding: int = 32,
+    hidden_dim: int = 16,
+    num_classes: int = 3,
+    learning_rate: float = 1e-3,
+    epochs: int = 50,
+    epochs_per_call: int = 10,
+    bandwidth: int = 63,
+    r: int = 8,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """10M-node banded training with every aggregation on the packed
+    full-bandwidth kernel.  Same objective/optimizer as
+    ``train_banded_giant``; ~2x the epoch throughput (see PARITY.md)."""
+    from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm_unit_packed
+
+    G = 16                               # lane-group width (classes padded)
+    if hidden_dim != G or dim_embedding % G:
+        raise ValueError("packed demo expects hidden_dim=16, emb % 16 == 0")
+    if n % r:
+        raise ValueError(f"n={n} must be a multiple of r={r}")
+    m = n // r
+    rng = np.random.default_rng(seed)
+    half = rng.choice(np.arange(1, bandwidth + 1), size=d // 2, replace=False)
+    offsets = tuple(int(o) for s in half for o in (s, -s))
+    e_undirected = n * d // 2
+    inv_d = 1.0 / d
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "conv1": gcn_conv_init(k1, dim_embedding, G),
+        "conv2": gcn_conv_init(k2, G, G),   # classes padded 3 -> 16
+        "embed": jax.random.normal(
+            k3, (m, r * dim_embedding), jnp.float32) * 0.1,
+    }
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, r * G), 1)
+    class_ok = (lane % G < num_classes).astype(jnp.float32)      # [1, 128]
+    # terminals: positions 0..k-1 (row 0, lane groups 0..k-1) pinned to
+    # class == their own group index
+    grp = lane // G
+    term_cols = (grp < num_classes).astype(jnp.float32)          # [1, 128]
+    term_onehot = ((lane % G) == grp).astype(jnp.float32) * term_cols
+    eye_r = jnp.eye(r, dtype=jnp.float32)
+    sum_bcast = jnp.kron(eye_r, jnp.ones((G, G), jnp.float32))  # [128, 128]
+
+    def spmm(h):
+        # wide in, wide out; (m, L) -> (n, L/r) view only inside the op
+        L = h.shape[1]
+        return banded_spmm_unit_packed(
+            h.reshape(n, L // r), offsets, r
+        ).reshape(m, L)
+
+    def loss_fn(params):
+        k1w = jnp.kron(eye_r, params["conv1"]["w"])              # [256, 128]
+        k2w = jnp.kron(eye_r, params["conv2"]["w"])              # [128, 128]
+        b1 = jnp.tile(params["conv1"]["b"], r)
+        b2 = jnp.tile(params["conv2"]["b"], r)
+        h = params["embed"] @ k1w
+        h = spmm(h) * inv_d + b1
+        h = jax.nn.relu(h)
+        h = h @ k2w
+        h = spmm(h) * inv_d + b2
+        # masked group softmax over the k classes in each 16-lane group.
+        # max is shift-invariant -> stop_gradient (also: the TPU has no
+        # select-and-scatter lowering for windowed-max gradients); the
+        # sum-broadcast is a kron-ones matmul (MXU, differentiable).
+        gmax = jax.lax.stop_gradient(
+            _bcast(_group_max(h + (class_ok - 1.0) * 1e9))
+        )
+        e = jnp.exp(h - gmax) * class_ok
+        probs = e / (e @ sum_bcast)
+        # terminal pinning (row 0, groups 0..k-1), straight-through
+        row0 = jnp.zeros((m, 1), jnp.float32).at[0, 0].set(1.0)
+        is_term = row0 * term_cols
+        pinned_hard = is_term * term_onehot + (1.0 - is_term) * probs
+        pinned = jax.lax.stop_gradient(pinned_hard - probs) + probs
+        # straight-through group argmax (hard path carries no gradient)
+        hard = jax.lax.stop_gradient(
+            (pinned >= _bcast(_group_max(pinned))).astype(jnp.float32)
+            * class_ok
+        )
+        onehot = jax.lax.stop_gradient(hard - pinned) + pinned
+        same = jnp.vdot(onehot, spmm(onehot))
+        return -(e_undirected - 0.5 * same)
+
+    @jax.jit
+    def steps(params, opt_state, _):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=epochs_per_call
+        )
+        return params, opt_state, losses
+
+    t0 = time.perf_counter()
+    params, opt_state, losses = steps(params, opt_state, None)
+    history = [float(x) for x in np.asarray(losses)]
+    compile_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    done = epochs_per_call
+    while done < epochs:
+        params, opt_state, losses = steps(params, opt_state, None)
+        history += [float(x) for x in np.asarray(losses)]  # hard sync
+        done += epochs_per_call
+    steady = time.perf_counter() - t0
+    timed_epochs = max(1, done - epochs_per_call)
+    epoch_time = steady / timed_epochs
+
+    final_cut = -history[-1]
+    res = {
+        "n": n,
+        "d": d,
+        "edges": e_undirected,
+        "epochs": done,
+        "compile_time_s": compile_time,
+        "epoch_time_s": epoch_time,
+        "edges_per_s_per_epoch": n * d / epoch_time,
+        "initial_cut": -history[0],
+        "final_cut": final_cut,
+        "cut_fraction": final_cut / e_undirected,
+        "layout": "packed",
+    }
+    logger.info(
+        "packed giant n=%d d=%d: epoch %.3fs (%.2e edges/s), cut %.3g/%.3g (%.1f%%)",
+        n, d, epoch_time, res["edges_per_s_per_epoch"],
+        final_cut, e_undirected, 100 * res["cut_fraction"],
+    )
+    return res

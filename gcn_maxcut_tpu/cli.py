@@ -199,11 +199,14 @@ def _cmd_bench(args) -> int:
     if args.what in ("post", "all"):
         print(json.dumps({"post": bench_post_processing()}, default=float))
     if args.what == "giant":
-        from gcn_maxcut_tpu.bench.giant_demo import train_banded_giant
-
-        res = train_banded_giant(
-            n=args.giant_nodes, d=args.d, epochs=args.giant_epochs
+        from gcn_maxcut_tpu.bench.giant_demo import (
+            train_banded_giant,
+            train_banded_giant_packed,
         )
+
+        fn = (train_banded_giant_packed if args.giant_layout == "packed"
+              else train_banded_giant)
+        res = fn(n=args.giant_nodes, d=args.d, epochs=args.giant_epochs)
         print(json.dumps({"giant": res}, default=float))
     if args.what == "scaling":
         from gcn_maxcut_tpu.bench.scaling import scaling_sweep
@@ -370,6 +373,10 @@ def main(argv=None) -> int:
     b.add_argument("--d", type=int, default=8)
     b.add_argument("--giant-nodes", type=int, default=10_002_432)
     b.add_argument("--giant-epochs", type=int, default=40)
+    b.add_argument(
+        "--giant-layout", choices=["packed", "plain"], default="packed",
+        help="packed = interleaved full-bandwidth kernel (1.4x faster epoch)",
+    )
     b.set_defaults(fn=_cmd_bench)
 
     pl = sub.add_parser("pipeline", help="full generate->train->eval recipe")

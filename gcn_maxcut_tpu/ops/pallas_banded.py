@@ -265,6 +265,9 @@ def _banded_spmm_unit_raw(
     n, F = x.shape
     W = int(max(abs(o) for o in offsets))
     if F % 128 and not _interpreting():
+        # Narrow feature widths fall back to XLA rolls here; the full-
+        # bandwidth narrow-F path is the interleaved-order kernel below
+        # (``banded_spmm_unit_packed``) used by the giant-graph trainers.
         return banded_spmm_unit_xla(x, offsets)
     if n % block:
         raise ValueError(f"n={n} must be a multiple of block={block}")
@@ -321,3 +324,215 @@ def banded_spmm_unit_xla(x: jnp.ndarray, offsets: Sequence[int]) -> jnp.ndarray:
     for o in offsets:
         out = out + jnp.roll(x, -o, axis=0)
     return out
+
+
+
+
+# ---- interleaved-order variant: full bandwidth for narrow F --------------
+#
+# The row-window kernel above needs F % 128 == 0 lanes; narrow widths (the
+# k=3 class dim, 16-wide hiddens) otherwise fall back to XLA rolls at ~1/6
+# bandwidth (measured 54 vs 317 GB/s on v5e), and in-VMEM lane rotations or
+# MXU lane-routing matmuls measured no better (VPU-/MXU-bound).  The fix is
+# a *node ordering*, not more kernel tricks: store node i = u·m + j at
+# position p = j·r + u (r nodes interleaved per packed row, m = n/r rows).
+# Then the packed [m, r·F] view of the array turns every circulant node
+# shift o into a pure ROW shift by o — the exact shape the window kernel
+# already streams at full bandwidth — and only the W wrap rows at each end
+# need their lane groups rotated by F, which is precomputed outside the
+# kernel on two [W, r·F] tiles.  GEMMs, elementwise ops, softmax, STE and
+# the cut objective are all row-wise, so an entire training pipeline can
+# live in interleaved order for free (``parallel/giant_banded.py``,
+# ``bench/giant_demo.py``); ``pack_interleaved``/``unpack_interleaved``
+# convert at the boundaries.
+
+
+def _pick_block(m: int, target: int = 1024, minimum: int = 8) -> int | None:
+    """Largest multiple-of-8 divisor of m that is <= target."""
+    b = min(target - target % 8, m - m % 8)
+    while b >= minimum:
+        if m % b == 0:
+            return b
+        b -= 8
+    return None
+
+
+def pack_interleaved(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Reorder nodes so node u·m + j lands at position j·r + u (m = n/r)."""
+    n, F = x.shape
+    if n % r:
+        raise ValueError(f"n={n} must be a multiple of r={r}")
+    m = n // r
+    return x.reshape(r, m, F).transpose(1, 0, 2).reshape(n, F)
+
+
+def unpack_interleaved(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Inverse of ``pack_interleaved``."""
+    n, F = x.shape
+    m = n // r
+    return x.reshape(m, r, F).transpose(1, 0, 2).reshape(n, F)
+
+
+def _packed_unit_kernel(
+    offsets, B, W, L, n_blocks,
+    x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems,
+):
+    """Window kernel over the packed [m, L] view; wrap rows come from the
+    precomputed lane-rotated tiles instead of the array's other end."""
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nxt_slot = jax.lax.rem(i + 1, 2)
+
+    def start_dmas(block_idx, into_slot):
+        base = pl.multiple_of(block_idx * B, 8)
+
+        @pl.when(block_idx == 0)
+        def _():
+            pltpu.make_async_copy(
+                lo_hbm.at[pl.ds(0, W), :],
+                scratch.at[into_slot, pl.ds(0, W), :],
+                sems.at[into_slot, 0],
+            ).start()
+
+        @pl.when(block_idx > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pl.multiple_of(base - W, 8), W), :],
+                scratch.at[into_slot, pl.ds(0, W), :],
+                sems.at[into_slot, 0],
+            ).start()
+
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(base, B), :],
+            scratch.at[into_slot, pl.ds(W, B), :],
+            sems.at[into_slot, 1],
+        ).start()
+
+        @pl.when(block_idx == n_blocks - 1)
+        def _():
+            pltpu.make_async_copy(
+                hi_hbm.at[pl.ds(0, W), :],
+                scratch.at[into_slot, pl.ds(W + B, W), :],
+                sems.at[into_slot, 2],
+            ).start()
+
+        @pl.when(block_idx < n_blocks - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pl.multiple_of(base + B, 8), W), :],
+                scratch.at[into_slot, pl.ds(W + B, W), :],
+                sems.at[into_slot, 2],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        start_dmas(0, 0)
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        start_dmas(i + 1, nxt_slot)
+
+    # waits: same dst/semaphore/size regardless of which source was chosen
+    base = pl.multiple_of(i * B, 8)
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(0, W), :],
+        scratch.at[slot, pl.ds(0, W), :],
+        sems.at[slot, 0],
+    ).wait()
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(base, B), :],
+        scratch.at[slot, pl.ds(W, B), :],
+        sems.at[slot, 1],
+    ).wait()
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(0, W), :],
+        scratch.at[slot, pl.ds(W + B, W), :],
+        sems.at[slot, 2],
+    ).wait()
+
+    x_win = scratch[slot]                      # [B + 2W, L]
+    acc = jnp.zeros((B, L), jnp.float32)
+    for o in offsets:                          # static row shifts only
+        acc = acc + x_win[W + o : W + o + B, :]
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "r", "block"))
+def _banded_spmm_unit_packed_raw(
+    x: jnp.ndarray,
+    offsets: tuple[int, ...],
+    r: int,
+    block: int | None = None,
+) -> jnp.ndarray:
+    n, F = x.shape
+    L = r * F
+    W = int(max(abs(o) for o in offsets))
+    m = n // r if n % r == 0 else 0
+    block = block or (_pick_block(m) if m else None)
+    Wa = (W + 7) // 8 * 8
+    usable = (
+        m > 0 and L % 128 == 0 and block is not None
+        and m % block == 0 and Wa <= block and 2 * Wa <= m
+    )
+    if not usable:
+        # graceful fallback: exact same math through the ordered rolls path
+        return pack_interleaved(
+            banded_spmm_unit_xla(unpack_interleaved(x, r), offsets), r
+        )
+    # DMA row slices must be 8-aligned (Mosaic tiling); round W up
+    Wp = (W + 7) // 8 * 8
+    p = x.reshape(m, L)
+    wrap_lo = jnp.roll(p[m - Wp :], F, axis=1)
+    wrap_hi = jnp.roll(p[:Wp], -F, axis=1)
+    n_blocks = m // block
+    kernel = functools.partial(
+        _packed_unit_kernel, tuple(offsets), block, Wp, L, n_blocks
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, L), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, L), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, block + 2 * Wp, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(p, wrap_lo, wrap_hi)
+    return out.reshape(n, F)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def banded_spmm_unit_packed(
+    x: jnp.ndarray,
+    offsets: tuple[int, ...],
+    r: int,
+    block: int | None = None,
+) -> jnp.ndarray:
+    """Unit-weight circulant SpMM on arrays stored in interleaved node
+    order (``pack_interleaved``): y_pos(i) = Σ_k x_pos((i + o_k) mod n).
+
+    Full stream bandwidth for ANY feature width with r·F % 128 == 0 —
+    the narrow-F path the row-window kernel cannot serve.  Backward is the
+    same kernel with negated offsets.
+    """
+    return _banded_spmm_unit_packed_raw(x, offsets, r, block)
+
+
+def _packed_unit_fwd(x, offsets, r, block):
+    return _banded_spmm_unit_packed_raw(x, offsets, r, block), None
+
+
+def _packed_unit_bwd(offsets, r, block, _, dy):
+    neg = tuple(-o for o in offsets)
+    return (_banded_spmm_unit_packed_raw(dy, neg, r, block),)
+
+
+banded_spmm_unit_packed.defvjp(_packed_unit_fwd, _packed_unit_bwd)

@@ -92,3 +92,86 @@ def test_banded_narrow_features_fall_back_to_xla():
     np.testing.assert_allclose(
         np.asarray(y), _oracle(x, w, (1, -1)), rtol=1e-5
     )
+
+
+# ---- interleaved packed variant (full bandwidth for narrow F) ------------
+
+def test_pack_unpack_roundtrip():
+    from gcn_maxcut_tpu.ops.pallas_banded import (
+        pack_interleaved, unpack_interleaved)
+    x = jnp.asarray(np.arange(64 * 5, dtype=np.float32).reshape(64, 5))
+    for r in (4, 8, 16):
+        y = unpack_interleaved(pack_interleaved(x, r), r)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+@pytest.mark.parametrize(
+    "n,F,r,offsets",
+    [
+        (4096, 16, 8, (1, -1, 5, -5)),
+        (8192, 4, 32, (2, -2, 7, -7, 63, -63)),
+        (4096, 32, 8, (33, -33, 1, -1)),
+        (8192, 16, 32, (9, -9, 2, -2)),
+        (4096, 16, 8, (3, 11)),            # one-sided, no ± symmetry
+    ],
+)
+def test_packed_unit_matches_rolls(n, F, r, offsets):
+    from gcn_maxcut_tpu.ops.pallas_banded import (
+        banded_spmm_unit_packed, banded_spmm_unit_xla,
+        pack_interleaved, unpack_interleaved)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, F)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        yp = banded_spmm_unit_packed(pack_interleaved(x, r), offsets, r)
+    y = unpack_interleaved(yp, r)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(banded_spmm_unit_xla(x, offsets)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_packed_unit_gradient_matches_rolls():
+    from gcn_maxcut_tpu.ops.pallas_banded import (
+        banded_spmm_unit_packed, banded_spmm_unit_xla,
+        pack_interleaved, unpack_interleaved)
+    rng = np.random.default_rng(1)
+    n, F, r, offsets = 4096, 16, 8, (1, -1, 9, -9)
+    x = jnp.asarray(rng.normal(size=(n, F)).astype(np.float32))
+    xp = pack_interleaved(x, r)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(
+            lambda z: jnp.sum(banded_spmm_unit_packed(z, offsets, r) ** 2)
+        )(xp)
+    g_ref = jax.grad(
+        lambda z: jnp.sum(banded_spmm_unit_xla(z, offsets) ** 2)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(unpack_interleaved(g, r)), np.asarray(g_ref),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_packed_unit_graceful_fallback():
+    # r*F not a multiple of 128: exact same result via the rolls fallback
+    from gcn_maxcut_tpu.ops.pallas_banded import (
+        banded_spmm_unit_packed, banded_spmm_unit_xla,
+        pack_interleaved, unpack_interleaved)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(120, 5)).astype(np.float32))
+    y = unpack_interleaved(
+        banded_spmm_unit_packed(pack_interleaved(x, 4), (1, -1), 4), 4
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(banded_spmm_unit_xla(x, (1, -1))),
+        rtol=1e-5,
+    )
+
+
+def test_packed_giant_trainer_improves_cut():
+    from gcn_maxcut_tpu.bench.giant_demo import train_banded_giant_packed
+    with pltpu.force_tpu_interpret_mode():
+        r = train_banded_giant_packed(
+            n=8192, epochs=20, epochs_per_call=5, bandwidth=31
+        )
+    assert r["final_cut"] > r["initial_cut"]
+    assert r["cut_fraction"] > 0.75
