@@ -52,9 +52,17 @@ def _cmd_train(args) -> int:
     from gcn_maxcut_tpu.train import train_dataset
 
     ds = load_dataset(args.dataset)
+    callback = None
+    if args.metrics:
+        from gcn_maxcut_tpu.utils.profiling import MetricsLogger
+
+        ml = MetricsLogger(args.metrics)
+        callback = lambda epoch, loss: ml.log(epoch, loss=loss)  # noqa: E731
     params, best_loss, epochs, _, history = train_dataset(
         ds,
         model_name=args.model_name,
+        callback=callback,
+        resume_from=args.resume,
         number_epochs=args.epochs,
         learning_rate=args.learning_rate,
         dropout=args.dropout,
@@ -332,6 +340,14 @@ def main(argv=None) -> int:
     t.add_argument("--patience", type=int, default=20)
     t.add_argument("--save-frequency", type=int, default=100)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument(
+        "--metrics", default=None,
+        help="write per-epoch JSONL metrics (loss, step time) to this path",
+    )
+    t.add_argument(
+        "--resume", default=None,
+        help="warm-start from a checkpoint (.npz) incl. optimizer state",
+    )
     t.set_defaults(fn=_cmd_train)
 
     e = sub.add_parser("test", help="evaluate a checkpoint on a dataset")

@@ -374,12 +374,15 @@ def train_model(
 def train_dataset(
     dataset: ProcessedDataset,
     model_name: str | None = None,
+    callback: Optional[Callable[[int, float], None]] = None,
+    resume_from: Optional[str] = None,
     **config_kwargs,
 ) -> Tuple[Any, float, int, jnp.ndarray, List[float]]:
     """Convenience wrapper (reference ``train_from_pickle`` :486-513).
 
     Derives ``n_nodes`` (feature width) from the dataset's ``max_nodes``
-    unless overridden.
+    unless overridden.  ``callback``/``resume_from`` pass through to
+    ``train_model`` (per-epoch metrics hook; checkpoint warm start).
     """
     params = {
         "n_nodes": dataset.config.max_nodes,
@@ -388,7 +391,7 @@ def train_dataset(
     }
     config = TrainingConfig(**params)
     batch = pad_graph_batch([dataset.graphs[k] for k in sorted(dataset.graphs)])
-    return train_model(batch, config)
+    return train_model(batch, config, callback=callback, resume_from=resume_from)
 
 
 def train_from_files(

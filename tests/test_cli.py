@@ -73,3 +73,36 @@ def test_pipeline_command(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "pipeline summary" in out
     assert "Randomized baseline" in out
+
+
+def test_train_metrics_and_resume(tmp_path, capsys):
+    ds_path = str(tmp_path / "ds.npz")
+    assert main(
+        [
+            "generate", "--num-graphs", "2", "--min-nodes", "20",
+            "--max-nodes", "20", "--min-degree", "4", "--max-degree", "4",
+            "--pad-to", "32", "--seed", "3", "--output", ds_path,
+        ]
+    ) == 0
+    model = str(tmp_path / "m")
+    metrics = tmp_path / "metrics.jsonl"
+    assert main(
+        [
+            "train", "--dataset", ds_path, "--model-name", model,
+            "--epochs", "4", "--metrics", str(metrics),
+        ]
+    ) == 0
+    recs = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert len(recs) == 4 and all("loss" in r and "step_time_s" in r for r in recs)
+
+    import os
+
+    final = [f for f in os.listdir(tmp_path) if f.startswith("final_")][0]
+    assert main(
+        [
+            "train", "--dataset", ds_path, "--model-name", model,
+            "--epochs", "6", "--resume", str(tmp_path / final),
+        ]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epochs"] >= 4  # history includes the resumed epochs
