@@ -116,7 +116,9 @@ def train_banded_giant(
 
     t0 = time.perf_counter()
     done = epochs_per_call
-    while done < epochs:
+    # always time at least one steady-state chunk (epochs <= epochs_per_call
+    # would otherwise report a ~0-second epoch)
+    while done < epochs or done == epochs_per_call:
         params, opt_state, losses = steps(params, opt_state, None)
         history += [float(x) for x in np.asarray(losses)]  # hard sync
         done += epochs_per_call
@@ -294,7 +296,9 @@ def train_banded_giant_packed(
 
     t0 = time.perf_counter()
     done = epochs_per_call
-    while done < epochs:
+    # always time at least one steady-state chunk (epochs <= epochs_per_call
+    # would otherwise report a ~0-second epoch)
+    while done < epochs or done == epochs_per_call:
         params, opt_state, losses = steps(params, opt_state, None)
         history += [float(x) for x in np.asarray(losses)]  # hard sync
         done += epochs_per_call

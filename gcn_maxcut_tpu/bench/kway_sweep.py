@@ -24,11 +24,8 @@ logger = get_logger(__name__)
 
 
 def _regular_edges(n: int, d: int, seed: int) -> np.ndarray:
-    """d-regular edge list, native C++ generator when available."""
-    from gcn_maxcut_tpu.native import bindings
-
-    if bindings.is_available():
-        return bindings.random_regular_edges_native(n, d, seed)
+    """d-regular edge list (``random_regular_edges`` dispatches to the
+    native C++ sampler for large n on its own)."""
     from gcn_maxcut_tpu.data.generate import random_regular_edges
 
     return random_regular_edges(n, d, seed=seed)

@@ -155,16 +155,21 @@ def _cmd_convert(args) -> int:
 
     src, dst = args.input, args.output
     if src.endswith((".pth", ".pt")):
+        from gcn_maxcut_tpu.train.torch_compat import adam_state_from_torch
+
         params, _, meta = load_torch_checkpoint(src)
         cfg = meta.get("config") or TrainingConfig()
         state = setup_train_state(cfg)
-        params2, opt_state, meta = load_torch_checkpoint(
-            src, optimizer=state.optimizer, params_template=state.params
+        if "embed" not in params:           # keep template embedding
+            params["embed"] = state.params["embed"]
+        opt_state = (
+            adam_state_from_torch(
+                state.optimizer, state.params, meta["torch_optimizer"]
+            )
+            if meta.get("torch_optimizer") else state.opt_state
         )
-        if "embed" not in params2:          # keep template embedding
-            params2["embed"] = state.params["embed"]
         out = save_checkpoint(
-            dst, params=params2, opt_state=opt_state or state.opt_state,
+            dst, params=params, opt_state=opt_state,
             epoch=meta.get("epoch", 0),
             loss_history=meta.get("loss_history"), config=cfg,
         )

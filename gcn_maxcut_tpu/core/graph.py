@@ -243,6 +243,8 @@ def dense_adjacency(
     ignoring edge weights (used by the dense-MXU aggregation path).  Stays
     on device, O(E) writes.
     """
+    if values not in ("weights", "mask"):
+        raise ValueError(f"unknown values mode {values!r}")
     width = g.n_pad if width is None else width
     dense = jnp.zeros((g.n_pad, width), dtype=jnp.float32)
     vals = g.weights * g.edge_mask if values == "weights" else g.edge_mask

@@ -12,6 +12,7 @@ sampling post-processor.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from pathlib import Path
@@ -31,11 +32,18 @@ from gcn_maxcut_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-@jax.jit
-def _forward(params, g: Graph):
+@functools.partial(jax.jit, static_argnames=("aggregation",))
+def _forward(params, g: Graph, aggregation: str = "auto"):
+    from gcn_maxcut_tpu.train.config import TrainingConfig
+    from gcn_maxcut_tpu.train.loop import _resolve_dense_aggregation
+
     x = dense_adjacency(g, width=params["conv1"]["w"].shape[0])
-    # dense-MXU aggregation for small padded graphs (same rule as training)
-    a = dense_adjacency(g, values="mask") if g.n_pad <= 2048 else None
+    # dense-MXU aggregation for small padded graphs — literally the same
+    # rule as training (``aggregation`` overrides, e.g. "sparse" to rule
+    # out 1e-5-level dense/sparse drift when comparing decoders)
+    cfg = TrainingConfig(n_nodes=8, aggregation=aggregation)
+    a = (dense_adjacency(g, values="mask")
+         if _resolve_dense_aggregation(cfg, g.n_pad) else None)
     return gcn_softmax_apply(
         {"conv1": params["conv1"], "conv2": params["conv2"]}, g, x, a_dense=a
     )

@@ -469,18 +469,17 @@ def _banded_spmm_unit_packed_raw(
     W = int(max(abs(o) for o in offsets))
     m = n // r if n % r == 0 else 0
     block = block or (_pick_block(m) if m else None)
-    Wa = (W + 7) // 8 * 8
+    # DMA row slices must be 8-aligned (Mosaic tiling); round W up once
+    Wp = (W + 7) // 8 * 8
     usable = (
         m > 0 and L % 128 == 0 and block is not None
-        and m % block == 0 and Wa <= block and 2 * Wa <= m
+        and m % block == 0 and Wp <= block and 2 * Wp <= m
     )
     if not usable:
         # graceful fallback: exact same math through the ordered rolls path
         return pack_interleaved(
             banded_spmm_unit_xla(unpack_interleaved(x, r), offsets), r
         )
-    # DMA row slices must be 8-aligned (Mosaic tiling); round W up
-    Wp = (W + 7) // 8 * 8
     p = x.reshape(m, L)
     wrap_lo = jnp.roll(p[m - Wp :], F, axis=1)
     wrap_hi = jnp.roll(p[:Wp], -F, axis=1)

@@ -436,7 +436,10 @@ def evaluate_model(
             else:
                 x = _embed_rows(params["embed"], g.n_pad)
             a = (dense_adjacency(g, values="mask")
-                 if _resolve_dense_aggregation(config, g.n_pad) else None)
+                 if _resolve_dense_aggregation(
+                     config, g.n_pad,
+                     int(dataset_batch.n_nodes.shape[0]),
+                 ) else None)
             probs = gcn_softmax_apply(
                 {"conv1": params["conv1"], "conv2": params["conv2"]}, g, x,
                 a_dense=a,

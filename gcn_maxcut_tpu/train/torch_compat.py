@@ -157,17 +157,25 @@ def load_torch_checkpoint(
         ]
         meta["config"] = config_from_torch(ckpt.get("config"))
 
+    if isinstance(ckpt, dict) and ckpt.get("optimizer"):
+        meta["torch_optimizer"] = ckpt["optimizer"]
+
     opt_state = None
     if optimizer is not None and params_template is not None \
             and isinstance(ckpt, dict) and ckpt.get("optimizer"):
-        opt_state = _adam_state_from_torch(
-            optimizer, params_template, params, ckpt["optimizer"]
+        opt_state = adam_state_from_torch(
+            optimizer, params_template, ckpt["optimizer"]
         )
     return params, opt_state, meta
 
 
-def _adam_state_from_torch(optimizer, params_template, params, torch_opt):
-    """Graft torch Adam ``exp_avg/exp_avg_sq/step`` into an optax state."""
+def adam_state_from_torch(optimizer, params_template, torch_opt):
+    """Graft torch Adam ``exp_avg/exp_avg_sq/step`` into an optax state.
+
+    Moment shapes are validated against ``params_template`` so a checkpoint
+    from a differently-sized model fails here, not later inside
+    ``optimizer.update``.
+    """
     init = optimizer.init(params_template)
     per_param = torch_opt.get("state", {})
     if not per_param:
@@ -184,6 +192,14 @@ def _adam_state_from_torch(optimizer, params_template, params, torch_opt):
         count = max(count, int(_to_np(s["step"]).reshape(-1)[0]))
         mu = jnp.asarray(_to_np(s["exp_avg"]))
         nu = jnp.asarray(_to_np(s["exp_avg_sq"]))
+        tmpl = params_template.get(group)
+        if leaf is not None and isinstance(tmpl, dict):
+            tmpl = tmpl.get(leaf)
+        if tmpl is not None and tuple(tmpl.shape) != tuple(mu.shape):
+            raise ValueError(
+                f"torch Adam moment {idx} ({group}/{leaf}) has shape "
+                f"{tuple(mu.shape)}, template expects {tuple(tmpl.shape)}"
+            )
         if leaf is None:
             mu_upd[group], nu_upd[group] = mu, nu
         else:
@@ -203,10 +219,17 @@ def _adam_state_from_torch(optimizer, params_template, params, torch_opt):
 
 
 def _merge(base: Dict[str, Any], upd: Dict[str, Any]) -> Dict[str, Any]:
-    """Dict-tree merge that keeps untouched leaves (e.g. MaskedNode)."""
+    """Dict-tree merge that keeps untouched/masked leaves.
+
+    A leaf in ``base`` that is not an array (e.g. ``optax.MaskedNode`` for
+    the frozen embedding) is kept as-is — grafting a tensor there would
+    corrupt the masked optimizer's state structure."""
     out = dict(base)
     for k, v in upd.items():
-        out[k] = _merge(base[k], v) if isinstance(v, dict) else v
+        if isinstance(v, dict):
+            out[k] = _merge(base[k], v)
+        elif hasattr(base.get(k), "shape"):
+            out[k] = v
     return out
 
 
@@ -250,8 +273,24 @@ def save_torch_checkpoint(
                 "exp_avg": t(sub_mu),
                 "exp_avg_sq": t(sub_nu),
             }
+        # one group over ALL params in reference order (torch's
+        # load_state_dict requires the group param count to match the
+        # live optimizer — chain(net, embed) has 5 — and keeps the saved
+        # hyperparameters, so they must be complete for opt.step())
         torch_opt["param_groups"] = [
-            {"params": list(torch_opt["state"].keys())}
+            {
+                "params": list(range(len(_PARAM_ORDER))),
+                "lr": config.learning_rate if config is not None else 1e-3,
+                "betas": (0.9, 0.999),
+                "eps": 1e-8,
+                "weight_decay": 0.0,
+                "amsgrad": False,
+                "maximize": False,
+                "foreach": None,
+                "capturable": False,
+                "differentiable": False,
+                "fused": None,
+            }
         ]
 
     ckpt = {

@@ -168,6 +168,21 @@ def test_round_trip_export(tmp_path):
     )
     assert meta["config"].n_nodes == N
 
+    # the reference's actual resume path: a live torch Adam must accept the
+    # exported optimizer state and step without error
+    tparams = [
+        torch.zeros(N, HID, requires_grad=True),
+        torch.zeros(HID, requires_grad=True),
+        torch.zeros(HID, K, requires_grad=True),
+        torch.zeros(K, requires_grad=True),
+        torch.zeros(N, N, requires_grad=True),
+    ]
+    opt = torch.optim.Adam(tparams, lr=1e-3)
+    opt.load_state_dict(ckpt["optimizer"])
+    loss = sum((p ** 2).sum() for p in tparams[:4]) + tparams[0].sum()
+    loss.backward()
+    opt.step()  # raises if hyperparameters or param ids are malformed
+
 
 def test_cli_convert_torch_to_npz(tmp_path):
     src = str(tmp_path / "final_refmodel.pth")
