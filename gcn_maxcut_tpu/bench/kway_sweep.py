@@ -36,6 +36,7 @@ def kway_sweep(
     d: int = 8,
     ks: Sequence[int] = (3, 4, 5, 6, 7, 8),
     epochs: int = 60,
+    epochs_per_call: int = 10,
     dim_embedding: int = 128,
     hidden_dim: int = 64,
     learning_rate: float = 1e-3,
@@ -61,6 +62,7 @@ def kway_sweep(
             hidden_dim=hidden_dim,
             learning_rate=learning_rate,
             number_epochs=epochs,
+            epochs_per_call=epochs_per_call,
             seed=seed,
             log_every=max(1, epochs // 4),
         )
