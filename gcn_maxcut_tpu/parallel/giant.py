@@ -138,7 +138,9 @@ def make_giant_step(
             )
             probs = jax.nn.softmax(h, axis=-1)
             onehot = _pin_and_ste(probs, axis, config.num_classes)
-            return -sharded_cut(sgl, onehot, axis)
+            from gcn_maxcut_tpu.parallel.spmm import sharded_cut_edgeform
+
+            return -sharded_cut_edgeform(sgl, onehot, axis, config.schedule)
 
         def body(carry, _):
             conv_params, embed, opt_state = carry

@@ -53,6 +53,11 @@ class ShardedGraph:
     degrees: jnp.ndarray     # f32   [D, n_shard]
     node_mask: jnp.ndarray   # f32   [D, n_shard]
     n_nodes: jnp.ndarray     # int32 [] total real nodes
+    # optional per-group ELL tables (receiver-major): gather-only SpMM runs
+    # ~5x the gather+scatter segment-sum on TPU (see ops/segment.py)
+    ell_senders: jnp.ndarray | None = None   # int32 [D, D, n_shard, ell_w]
+    ell_weights: jnp.ndarray | None = None   # f32   [D, D, n_shard, ell_w]
+    ell_mask: jnp.ndarray | None = None      # f32   [D, D, n_shard, ell_w]
 
     @property
     def num_shards(self) -> int:
@@ -143,6 +148,7 @@ def shard_graph(
     weights: np.ndarray | None = None,
     owner: np.ndarray | None = None,
     edge_pad_multiple: int = 128,
+    build_ell: bool = True,
 ) -> Tuple[ShardedGraph, np.ndarray]:
     """Build a `ShardedGraph` from directed COO arrays.
 
@@ -188,6 +194,22 @@ def shard_graph(
     S[:] = n_shard - 1
     R[:] = n_shard - 1
 
+    # per-(shard, group) in-degree of each local receiver -> ELL width
+    deg_group = np.zeros((num_shards, num_shards, n_shard), dtype=np.int64)
+    np.add.at(deg_group, (recv_shard, group, local[receivers]), 1)
+    ell_w = int(deg_group.max()) if deg_group.size else 0
+    # skip the tables when a hub/partition pathology would blow memory
+    use_ell = (
+        build_ell and ell_w > 0
+        and num_shards * num_shards * n_shard * ell_w <= (1 << 28)
+    )
+    if use_ell:
+        ES = np.full(
+            (num_shards, num_shards, n_shard, ell_w), n_shard - 1, np.int32
+        )
+        EW = np.zeros_like(ES, dtype=np.float32)
+        EM = np.zeros_like(EW)
+
     for d in range(num_shards):
         for s in range(num_shards):
             sel = np.nonzero((recv_shard == d) & (group == s))[0]
@@ -199,6 +221,13 @@ def shard_graph(
             R[d, s, :m] = local[receivers[sel]]
             W[d, s, :m] = w[sel]
             M[d, s, :m] = 1.0
+            if use_ell and m:
+                r_loc = local[receivers[sel]]
+                # slot within each run of equal (sorted) receivers
+                slot = np.arange(m) - np.searchsorted(r_loc, r_loc)
+                ES[d, s, r_loc, slot] = local[senders[sel]]
+                EW[d, s, r_loc, slot] = w[sel]
+                EM[d, s, r_loc, slot] = 1.0
 
     degrees = np.zeros((num_shards, n_shard), dtype=np.float32)
     np.add.at(degrees, (recv_shard, local[receivers]), 1.0)
@@ -215,5 +244,8 @@ def shard_graph(
         degrees=jnp.asarray(degrees),
         node_mask=jnp.asarray(node_mask),
         n_nodes=jnp.asarray(n, dtype=jnp.int32),
+        ell_senders=jnp.asarray(ES) if use_ell else None,
+        ell_weights=jnp.asarray(EW) if use_ell else None,
+        ell_mask=jnp.asarray(EM) if use_ell else None,
     )
     return sg, g2l

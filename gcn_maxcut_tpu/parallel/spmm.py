@@ -21,10 +21,12 @@ forward and backward.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gcn_maxcut_tpu.parallel.partition import ShardedGraph
 
@@ -40,6 +42,37 @@ def _local_group_aggregate(
     msgs = x_src[senders] * (weights * mask)[:, None]
     return jax.ops.segment_sum(
         msgs, receivers, num_segments=n_shard, indices_are_sorted=True
+    )
+
+
+def _local_group_aggregate_ell(
+    ell_senders: jnp.ndarray,  # [n_shard, w] local idx in the source shard
+    ell_values: jnp.ndarray,   # [n_shard, w] weights (0 on padding)
+    x_src: jnp.ndarray,        # [n_shard, F]
+) -> jnp.ndarray:
+    """Gather-only group aggregation — no scatter; ~5x the segment-sum on
+    TPU (measured, same finding as ops/segment.py's single-device path)."""
+    w = ell_senders.shape[1]
+    out = ell_values[:, 0:1] * x_src[ell_senders[:, 0]]
+    for j in range(1, w):
+        out = out + ell_values[:, j : j + 1] * x_src[ell_senders[:, j]]
+    return out
+
+
+def _group_aggregate(sg_shard: ShardedGraph, s, x_src: jnp.ndarray) -> jnp.ndarray:
+    """Aggregate edge group ``s`` of this shard from the source-shard rows,
+    via the ELL tables when the partition built them."""
+    if sg_shard.ell_senders is not None:
+        return _local_group_aggregate_ell(
+            sg_shard.ell_senders[s], sg_shard.ell_weights[s], x_src
+        )
+    return _local_group_aggregate(
+        sg_shard.senders[s],
+        sg_shard.receivers[s],
+        sg_shard.weights[s],
+        sg_shard.edge_mask[s],
+        x_src,
+        sg_shard.node_mask.shape[-1],
     )
 
 
@@ -61,14 +94,7 @@ def sharded_spmm_allgather(
     out = jnp.zeros_like(x)
     for s in range(num_shards):
         src = (my + s) % num_shards
-        out = out + _local_group_aggregate(
-            sg_shard.senders[s],
-            sg_shard.receivers[s],
-            sg_shard.weights[s],
-            sg_shard.edge_mask[s],
-            xg[src],
-            n_shard,
-        )
+        out = out + _group_aggregate(sg_shard, s, xg[src])
     return out
 
 
@@ -97,14 +123,7 @@ def sharded_spmm_ring(
             if s + 1 < num_shards
             else buf
         )
-        out = out + _local_group_aggregate(
-            sg_shard.senders[s],
-            sg_shard.receivers[s],
-            sg_shard.weights[s],
-            sg_shard.edge_mask[s],
-            buf,
-            n_shard,
-        )
+        out = out + _group_aggregate(sg_shard, s, buf)
         return out, nxt
 
     out = jnp.zeros_like(x)
@@ -133,18 +152,83 @@ def sharded_gcn_conv(
     """Symmetric-normalized GraphConv on a node-sharded graph.
 
     Same math as ``models.gcn_conv_apply`` (DGL ``norm='both'``), with the
-    aggregation running on the sharded schedule.  Degrees/masks are
+    aggregation running on the sharded schedule under the symmetric custom
+    VJP (backward is the same schedule; no scatters).  Degrees/masks are
     per-shard, so normalization is local.
     """
-    spmm = make_sharded_spmm(schedule)
     deg = jnp.maximum(sg_shard.degrees, 1.0)
     norm = jax.lax.rsqrt(deg)[:, None]
     in_f, out_f = w.shape
     h = x * norm
     if in_f > out_f:
         h = h @ w
-        h = spmm(sg_shard, h, axis_name)
+        h = sharded_spmm_sym(sg_shard, h, axis_name, schedule)
     else:
-        h = spmm(sg_shard, h, axis_name)
+        h = sharded_spmm_sym(sg_shard, h, axis_name, schedule)
         h = h @ w
     return h * norm + b
+
+
+# ---- symmetric custom VJP ------------------------------------------------
+#
+# For the undirected graphs this framework builds (both edge directions
+# stored with equal weights), the GLOBAL aggregation operator is symmetric:
+# A^T = A.  The backward of the sharded SpMM is therefore the same sharded
+# SpMM applied to the cotangent — no scatter ever runs (autodiff through
+# the gather would emit one), and the ring schedule serves both passes.
+
+
+def _zeros_tangent(tree):
+    from jax import dtypes
+
+    def z(a):
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            return np.zeros(a.shape, dtypes.float0)
+        return jnp.zeros_like(a)
+
+    return jax.tree_util.tree_map(z, tree)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sharded_spmm_sym(
+    sg_shard: ShardedGraph,
+    x: jnp.ndarray,
+    axis_name: str = "graph",
+    schedule: str = "ring",
+) -> jnp.ndarray:
+    """Sharded SpMM with the symmetric-adjacency backward (A^T = A).
+
+    Requires the symmetrized graphs the framework builds; weight gradients
+    are not propagated (aggregation weights are structural)."""
+    return make_sharded_spmm(schedule)(sg_shard, x, axis_name)
+
+
+def _spmm_sym_fwd(sg_shard, x, axis_name, schedule):
+    return sharded_spmm_sym(sg_shard, x, axis_name, schedule), sg_shard
+
+
+def _spmm_sym_bwd(axis_name, schedule, sg_shard, dy):
+    dx = make_sharded_spmm(schedule)(sg_shard, dy, axis_name)
+    return _zeros_tangent(sg_shard), dx
+
+
+sharded_spmm_sym.defvjp(_spmm_sym_fwd, _spmm_sym_bwd)
+
+
+def sharded_cut_edgeform(
+    sg_shard: ShardedGraph,
+    s: jnp.ndarray,
+    axis_name: str = "graph",
+    schedule: str = "ring",
+) -> jnp.ndarray:
+    """Relaxed cut (Σ_E w − ⟨S, A_w S⟩)/2 riding the symmetric SpMM.
+
+    Algebraically identical to ``parallel.giant.sharded_cut`` but its
+    backward is gather-only (through ``sharded_spmm_sym``) instead of the
+    scatter autodiff emits for per-edge gathers."""
+    total_w = jax.lax.psum(
+        jnp.sum(sg_shard.weights * sg_shard.edge_mask), axis_name
+    )
+    same = jnp.sum(s * sharded_spmm_sym(sg_shard, s, axis_name, schedule))
+    same = jax.lax.psum(same, axis_name)
+    return (total_w - same) / 2.0

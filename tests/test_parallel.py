@@ -210,3 +210,81 @@ def test_dp_epoch_deterministic():
         results.append((float(loss), np.asarray(params["conv1"]["w"])))
     assert results[0][0] == results[1][0]
     np.testing.assert_array_equal(results[0][1], results[1][1])
+
+
+def _run_in_mesh(fn, sg, x):
+    """shard_map helper: fn(local_sg, local_x[n_shard, F]) -> [n_shard, F']."""
+    mesh = make_mesh(("graph",))
+    return np.asarray(
+        jax.jit(
+            jax.shard_map(
+                lambda sg_, x_: fn(local_shard(sg_), x_[0])[None],
+                mesh=mesh,
+                in_specs=(shard_specs(sg), P("graph")),
+                out_specs=P("graph"),
+                check_vma=False,
+            )
+        )(sg, x)
+    )
+
+
+def test_ell_group_tables_match_coo_aggregation():
+    n, deg = 96, 4
+    s, r = _random_coo(n, deg, 5)
+    sg_ell, _ = shard_graph(s, r, n, D)
+    sg_coo, _ = shard_graph(s, r, n, D, build_ell=False)
+    assert sg_ell.ell_senders is not None and sg_coo.ell_senders is None
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.normal(size=(D, sg_ell.n_shard, 16)).astype(np.float32)
+    )
+    run = lambda sg: _run_in_mesh(
+        lambda sgl, xl: sharded_spmm_ring(sgl, xl), sg, x
+    )
+    np.testing.assert_allclose(run(sg_ell), run(sg_coo), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_spmm_sym_gradient_matches_autodiff():
+    from gcn_maxcut_tpu.parallel.spmm import sharded_spmm_sym
+
+    n, deg = 64, 4
+    s, r = _random_coo(n, deg, 6)
+    sg, _ = shard_graph(s, r, n, D)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(D, sg.n_shard, 8)).astype(np.float32))
+
+    def grad_of(spmm_fn):
+        return _run_in_mesh(
+            lambda sgl, xl: jax.grad(
+                lambda z: jnp.sum(spmm_fn(sgl, z) ** 2)
+            )(xl),
+            sg, x,
+        )
+
+    g_sym = grad_of(lambda sgl, z: sharded_spmm_sym(sgl, z))
+    g_ad = grad_of(lambda sgl, z: sharded_spmm_ring(sgl, z))
+    np.testing.assert_allclose(g_sym, g_ad, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_cut_edgeform_matches_original():
+    from gcn_maxcut_tpu.parallel.giant import sharded_cut
+    from gcn_maxcut_tpu.parallel.spmm import sharded_cut_edgeform
+
+    n, deg = 96, 4
+    s, r = _random_coo(n, deg, 7)
+    sg, _ = shard_graph(s, r, n, D)
+    rng = np.random.default_rng(7)
+    assign = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, 3, size=(D, sg.n_shard))), 3
+    ).astype(jnp.float32)
+
+    old = _run_in_mesh(
+        lambda sgl, sl: sharded_cut(sgl, sl)[None] * jnp.ones((sgl.node_mask.shape[-1], 1)),
+        sg, assign,
+    )
+    new = _run_in_mesh(
+        lambda sgl, sl: sharded_cut_edgeform(sgl, sl)[None] * jnp.ones((sgl.node_mask.shape[-1], 1)),
+        sg, assign,
+    )
+    np.testing.assert_allclose(old[0, 0, 0], new[0, 0, 0], rtol=1e-5)
