@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gcn_maxcut_tpu.ops.pallas_banded import DEFAULT_BLOCK
+from gcn_maxcut_tpu.ops.pallas_banded import DEFAULT_BLOCK, _interpreting
 
 
 def _halo_kernel(
@@ -186,6 +186,17 @@ def halo_banded_spmm(
         from gcn_maxcut_tpu.ops.pallas_banded import _banded_spmm_raw
 
         return _banded_spmm_raw(x, w, offsets, block)
+    if F % 128 and not _interpreting():
+        # Mosaic DMA slices need 128-aligned lanes on real hardware (the
+        # k=3 class dim would fail to compile on a real slice).  Zero-pad
+        # the feature dim — exact, if bandwidth-wasteful; an interleaved
+        # packed variant (see ops/pallas_banded.banded_spmm_unit_packed)
+        # is the full-bandwidth follow-up.
+        pad = 128 - F % 128
+        xp = jnp.pad(x, ((0, 0), (0, pad)))
+        return halo_banded_spmm(
+            xp, w, offsets, axis_name, block, collective_id
+        )[:, :F]
     n_blocks = n_local // block
 
     kernel = functools.partial(
