@@ -56,6 +56,11 @@ def _run_with_retries(max_attempts: int = 3, timeout_s: int = 900) -> int:
 
 
 def main():
+    from gcn_maxcut_tpu.utils.cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    print(f"[bench] persistent compilation cache: {cache_dir}", file=sys.stderr)
+
     from gcn_maxcut_tpu.bench.microbench import (
         bench_post_processing,
         bench_spmm,
@@ -64,6 +69,12 @@ def main():
     )
 
     train = bench_train_epoch(epochs_timed=10)
+    print(
+        f"[bench] train-epoch compile {train['compile_time_s']:.1f}s, "
+        f"steady {train['epoch_time_s'] * 1e3:.2f} ms/epoch "
+        "(compile repaid from the persistent cache on repeat runs)",
+        file=sys.stderr,
+    )
     try:
         spmm = bench_spmm(n=100_000, d=8, feature_dim=128)
         banded = bench_spmm_banded()

@@ -414,6 +414,9 @@ def main(argv=None) -> int:
     pl.set_defaults(fn=_cmd_pipeline)
 
     args = p.parse_args(argv)
+    from gcn_maxcut_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat CLI runs skip the XLA compile cost
     return args.fn(args)
 
 

@@ -3,6 +3,8 @@ from gcn_maxcut_tpu.train.loop import (
     TrainState,
     setup_train_state,
     make_epoch_fn,
+    make_monitored_epoch_fn,
+    init_early_stop_state,
     train_model,
     train_dataset,
     train_from_files,
@@ -24,6 +26,8 @@ __all__ = [
     "TrainState",
     "setup_train_state",
     "make_epoch_fn",
+    "make_monitored_epoch_fn",
+    "init_early_stop_state",
     "train_model",
     "train_dataset",
     "train_from_files",

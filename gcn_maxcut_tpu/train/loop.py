@@ -185,17 +185,10 @@ def make_epoch_fn(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    @partial(jax.jit, static_argnames=("num_epochs",))
-    def epoch_fn(params, opt_state, batch: Graph, rng: jax.Array, num_epochs: int = 1):
-        """Run ``num_epochs`` epochs in one device call; returns the
-        per-epoch cumulative-loss vector.  num_epochs > 1 amortizes the
-        host round-trip (dominant on remote/tunneled devices) at the cost
-        of early-stop granularity.
-
-        On the dense-aggregation path the densified adjacency operators
-        are built ONCE here, outside both scans, and re-sliced per step —
-        they are loop invariants that XLA will not hoist across the nested
-        scans on its own."""
+    def _epoch_inputs(batch: Graph):
+        """Per-chunk loop invariants: the densified adjacency operators are
+        built ONCE per device call, outside both scans, and re-sliced per
+        step — XLA will not hoist them across the nested scans on its own."""
         n_graphs = batch.n_nodes.shape[0]
         n_pad = batch.degrees.shape[-1]
         xs = {"g": batch}
@@ -208,32 +201,45 @@ def make_epoch_fn(
                 xs["a_feat"] = jax.vmap(
                     lambda g: dense_adjacency(g, width=width)
                 )(batch)
+        return xs, n_graphs
+
+    def run_epoch(params, opt_state, xs, n_graphs, key):
+        """One epoch over the dataset; returns (params, opt_state, loss)."""
+        keys = jax.random.split(key, n_graphs)
+        if config.step_mode == "batched":
+            # one Adam step per epoch: the whole batch runs in parallel
+            # under vmap (MXU-batched GEMMs), gradients summed — the
+            # TPU-idiomatic mode; "per_graph" scans sequential steps
+            # for exact reference-semantics parity.
+            def total_loss(params):
+                losses = jax.vmap(
+                    lambda inp: _graph_loss(
+                        params, inp["g"], config, inp["key"],
+                        inp.get("a_mask"), inp.get("a_feat"),
+                    )
+                )({**xs, "key": keys})
+                return jnp.sum(losses)
+
+            loss, grads = jax.value_and_grad(total_loss)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), {**xs, "key": keys}
+        )
+        return params, opt_state, jnp.sum(losses)
+
+    @partial(jax.jit, static_argnames=("num_epochs",))
+    def epoch_fn(params, opt_state, batch: Graph, rng: jax.Array, num_epochs: int = 1):
+        """Run ``num_epochs`` epochs in one device call; returns the
+        per-epoch cumulative-loss vector.  num_epochs > 1 amortizes the
+        host round-trip (dominant on remote/tunneled devices)."""
+        xs, n_graphs = _epoch_inputs(batch)
 
         def one_epoch(carry, key):
             params, opt_state = carry
-            keys = jax.random.split(key, n_graphs)
-            if config.step_mode == "batched":
-                # one Adam step per epoch: the whole batch runs in parallel
-                # under vmap (MXU-batched GEMMs), gradients summed — the
-                # TPU-idiomatic mode; "per_graph" scans sequential steps
-                # for exact reference-semantics parity.
-                def total_loss(params):
-                    losses = jax.vmap(
-                        lambda inp: _graph_loss(
-                            params, inp["g"], config, inp["key"],
-                            inp.get("a_mask"), inp.get("a_feat"),
-                        )
-                    )({**xs, "key": keys})
-                    return jnp.sum(losses)
-
-                loss, grads = jax.value_and_grad(total_loss)(params)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-            (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), {**xs, "key": keys}
-            )
-            return (params, opt_state), jnp.sum(losses)
+            params, opt_state, loss = run_epoch(params, opt_state, xs, n_graphs, key)
+            return (params, opt_state), loss
 
         keys = jax.random.split(rng, num_epochs)
         (params, opt_state), losses = jax.lax.scan(
@@ -241,7 +247,104 @@ def make_epoch_fn(
         )
         return params, opt_state, losses
 
+    epoch_fn.run_epoch = run_epoch
+    epoch_fn.epoch_inputs = _epoch_inputs
     return epoch_fn
+
+
+def init_early_stop_state(
+    params: Any,
+    best_loss: float = float("inf"),
+    prev_loss: float = float("inf"),
+    epoch: int = 0,
+) -> Dict[str, Any]:
+    """Device-side early-stopping/best-tracking state for
+    :func:`make_monitored_epoch_fn`.  ``best_params`` starts as a copy of
+    ``params`` (exactly what the reference would restore if no epoch ever
+    improves — the warm-start params on resume)."""
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    return {
+        "best_loss": big if best_loss == float("inf") else jnp.float32(best_loss),
+        "prev_loss": big if prev_loss == float("inf") else jnp.float32(prev_loss),
+        "patience": jnp.int32(0),
+        "epoch": jnp.int32(epoch),
+        "stopped": jnp.asarray(False),
+        "best_params": jax.tree_util.tree_map(jnp.asarray, params),
+    }
+
+
+def make_monitored_epoch_fn(
+    config: TrainingConfig, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Chunked epochs with the reference's early-stop/best-restore semantics
+    executed ON DEVICE, inside the epoch scan.
+
+    Round-1 tracked "best params" at chunk granularity: with
+    ``epochs_per_call = K > 1`` the restored model could be up to K-1
+    optimizer steps past the true best epoch (the reference restores the
+    exact best epoch, ``TrainingNeural.py:440-442``).  Here the scan carry
+    holds ``(best_loss, best_params, prev_loss, patience, stopped)`` and
+    replays the reference's per-epoch control flow exactly
+    (``TrainingNeural.py:430-444``):
+
+      * patience increments when the cumulative loss worsens or moves less
+        than ``tolerance`` (only from epoch 1 on);
+      * when patience trips, training stops AT that epoch — later epochs in
+        the same chunk become frozen no-ops (``lax.cond`` skips their
+        compute), so K=1 and K=8 runs produce bit-identical results;
+      * the stopping epoch itself is not eligible for "best" (the reference
+        breaks out of the loop before its best-tracking line).
+
+    Returns ``chunk_fn(params, opt_state, es, batch, rng, num_epochs) ->
+    (params, opt_state, es, losses, stopped_flags)`` where ``es`` comes from
+    :func:`init_early_stop_state`.
+    """
+    base = make_epoch_fn(config, optimizer)
+    run_epoch, epoch_inputs = base.run_epoch, base.epoch_inputs
+
+    @partial(jax.jit, static_argnames=("num_epochs",))
+    def chunk_fn(params, opt_state, es, batch: Graph, rng: jax.Array,
+                 num_epochs: int = 1):
+        xs, n_graphs = epoch_inputs(batch)
+
+        def one_epoch(carry, key):
+            params, opt_state, es = carry
+            params, opt_state, loss = jax.lax.cond(
+                es["stopped"],
+                lambda p, o, k: (p, o, es["prev_loss"]),
+                lambda p, o, k: run_epoch(p, o, xs, n_graphs, k),
+                params, opt_state, key,
+            )
+            live = jnp.logical_not(es["stopped"])
+            worse = (es["epoch"] > 0) & (
+                (loss > es["prev_loss"])
+                | (jnp.abs(es["prev_loss"] - loss) <= config.tolerance)
+            )
+            patience = jnp.where(
+                live, jnp.where(worse, es["patience"] + 1, 0), es["patience"]
+            )
+            stop_now = live & (patience >= config.patience)
+            is_best = live & ~stop_now & (loss < es["best_loss"])
+            new_es = {
+                "best_loss": jnp.where(is_best, loss, es["best_loss"]),
+                "prev_loss": jnp.where(live, loss, es["prev_loss"]),
+                "patience": patience,
+                "epoch": es["epoch"] + live.astype(jnp.int32),
+                "stopped": es["stopped"] | stop_now,
+                "best_params": jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(is_best, new, old),
+                    params, es["best_params"],
+                ),
+            }
+            return (params, opt_state, new_es), (loss, new_es["stopped"])
+
+        keys = jax.random.split(rng, num_epochs)
+        (params, opt_state, es), (losses, stops) = jax.lax.scan(
+            one_epoch, (params, opt_state, es), keys
+        )
+        return params, opt_state, es, losses, stops
+
+    return chunk_fn
 
 
 def train_model(
@@ -262,13 +365,11 @@ def train_model(
     plus full optimizer-state + epoch + history restoration).
     """
     state = state or setup_train_state(config)
-    epoch_fn = make_epoch_fn(config, state.optimizer)
+    chunk_fn = make_monitored_epoch_fn(config, state.optimizer)
     params, opt_state = state.params, state.opt_state
 
-    best_loss = float("inf")
-    best_params = None
     loss_history: List[float] = []
-    patience_counter = 0
+    best_loss = float("inf")
     prev_loss = float("inf")
     start_epoch = 0
     if resume_from is not None:
@@ -286,6 +387,9 @@ def train_model(
             "resumed from %s at epoch %d (history %d)",
             resume_from, start_epoch, len(loss_history),
         )
+    es = init_early_stop_state(
+        params, best_loss=best_loss, prev_loss=prev_loss, epoch=start_epoch
+    )
     rng = jax.random.PRNGKey(config.seed + 1)
 
     logger.info(
@@ -302,35 +406,23 @@ def train_model(
     while epoch < config.number_epochs and not stop:
         chunk = min(K, config.number_epochs - epoch)
         rng, sub = jax.random.split(rng)
-        params, opt_state, losses = epoch_fn(
-            params, opt_state, dataset_batch, sub, num_epochs=chunk
+        params, opt_state, es, losses, stops = chunk_fn(
+            params, opt_state, es, dataset_batch, sub, num_epochs=chunk
         )
-        chunk_losses = [float(x) for x in np.asarray(losses)]
+        chunk_losses = np.asarray(losses)
+        chunk_stops = np.asarray(stops)
 
-        for j, cumulative_loss in enumerate(chunk_losses):
+        for j in range(chunk):
             e = epoch + j
+            cumulative_loss = float(chunk_losses[j])
             loss_history.append(cumulative_loss)
 
-            if e > 0 and (
-                cumulative_loss > prev_loss
-                or abs(prev_loss - cumulative_loss) <= config.tolerance
-            ):
-                patience_counter += 1
-                if patience_counter >= config.patience:
-                    logger.info("early stopping at epoch %d", e)
-                    epoch = e
-                    stop = True
-                    break
-            else:
-                patience_counter = 0
-
-            if cumulative_loss < best_loss:
-                best_loss = cumulative_loss
-                # with epochs_per_call > 1 the restorable best is the
-                # chunk-end params (chunk-granular best tracking)
-                best_params = jax.tree_util.tree_map(lambda x: x, params)
-
-            prev_loss = cumulative_loss
+            if chunk_stops[j]:
+                # early stop triggered AT epoch e (device-side patience);
+                # epochs after j in this chunk were frozen no-ops
+                logger.info("early stopping at epoch %d", e)
+                epoch = e
+                stop = True
 
             if e % config.save_frequency == 0:
                 logger.info("epoch %d: cumulative loss %.6f", e, cumulative_loss)
@@ -347,11 +439,17 @@ def train_model(
                     )
             if callback is not None:
                 callback(e, cumulative_loss)
+            if stop:
+                break
         else:
             epoch += chunk
 
-    if best_params is not None:
-        params = best_params
+    best_loss = float(es["best_loss"])
+    if best_loss >= float(jnp.finfo(jnp.float32).max):
+        best_loss = float("inf")
+    if loss_history:
+        # exact-epoch best restore (reference ``TrainingNeural.py:440-442``)
+        params = es["best_params"]
 
     final_epoch = len(loss_history) - 1
     logger.info(

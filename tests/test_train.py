@@ -208,6 +208,35 @@ def test_epochs_per_call_equivalent_history(tiny_dataset):
     np.testing.assert_allclose(h1, hK, rtol=1e-5)
 
 
+def test_exact_epoch_best_restore_chunked(tiny_dataset):
+    """epochs_per_call must not change WHICH params get restored.
+
+    Round 1 restored chunk-end params (up to K-1 Adam steps past the best
+    epoch); the reference restores the exact best epoch
+    (``TrainingNeural.py:440-442``).  With device-side best tracking, a
+    K=5 run must stop at the same epoch, record the same best loss, and
+    restore bit-identical params as a K=1 run.
+    """
+    batch = _batch(tiny_dataset)
+    mk = lambda k: TrainingConfig(  # noqa: E731
+        n_nodes=32, learning_rate=5e-2, number_epochs=200,
+        tolerance=1e-3, patience=3, save_frequency=1000, epochs_per_call=k,
+    )
+    p1, best1, ep1, _, h1 = train_model(batch, mk(1))
+    p5, best5, ep5, _, h5 = train_model(batch, mk(5))
+    assert ep1 == ep5
+    assert ep1 < 199  # early stopping must actually trigger
+    np.testing.assert_allclose(h1, h5, rtol=1e-6)
+    assert best1 == pytest.approx(best5, rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p5)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored params are the best epoch's params: evaluating them
+    # reproduces (approximately) the best loss, not the last loss
+    assert best1 <= min(h1) + 1e-6
+
+
 def test_train_from_files_merges_datasets(tmp_path):
     from gcn_maxcut_tpu.data import save_dataset
     from gcn_maxcut_tpu.train.loop import train_from_files
