@@ -109,6 +109,7 @@ def make_giant_step(
     optimizer: optax.GradientTransformation,
     axis: str = "graph",
     opt_state: Any = None,
+    params: Tuple[Any, jnp.ndarray] | None = None,
 ):
     """jit(chunk): ``epochs_per_call`` full forward/backward/Adam updates
     scanned INSIDE one shard_map (no host round-trips between epochs).
@@ -161,16 +162,36 @@ def make_giant_step(
         )
         return conv_params, embed, opt_state, losses
 
-    def opt_specs(tree):
-        # embedding Adam moments are [num_shards, n_shard, F] (sharded);
-        # conv moments / counts are replicated
-        return jax.tree_util.tree_map(
-            lambda a: P(axis) if getattr(a, "ndim", 0) == 3 else P(), tree
-        )
-
     if opt_state is None:
         raise ValueError("make_giant_step needs the initialized opt_state "
                          "to derive its sharding specs")
+    if params is None:
+        raise ValueError("make_giant_step needs the (conv_params, embed) "
+                         "example to derive opt-state sharding structurally")
+    # derive opt-state specs STRUCTURALLY: any opt_state subtree that
+    # mirrors the param tree (Adam mu/nu, any future per-param state)
+    # inherits the param specs; everything else (counts) is replicated.
+    # Rank-based sniffing mis-shards a hypothetical 3-D conv-side leaf.
+    param_specs = (
+        jax.tree_util.tree_map(lambda _: P(), params[0]),
+        P(axis),
+    )
+    param_td = jax.tree_util.tree_structure(params)
+
+    def opt_specs(tree):
+        is_param_like = (
+            lambda sub: jax.tree_util.tree_structure(sub) == param_td
+        )
+        return jax.tree_util.tree_map(
+            lambda sub: (
+                param_specs
+                if is_param_like(sub)
+                else jax.tree_util.tree_map(lambda _: P(), sub)
+            ),
+            tree,
+            is_leaf=is_param_like,
+        )
+
     smapped = jax.shard_map(
         local_chunk,
         mesh=mesh,
@@ -190,6 +211,10 @@ def train_giant_graph(
     axis: str = "graph",
 ) -> Dict[str, Any]:
     """End-to-end: partition -> sharded training -> decoded cut value."""
+    if config.number_epochs < 1:
+        raise ValueError(
+            f"number_epochs must be >= 1, got {config.number_epochs}"
+        )
     mesh = mesh or make_mesh((axis,))
     num_shards = int(np.prod(mesh.devices.shape))
     sg, g2l = shard_graph(senders, receivers, n, num_shards)
@@ -208,7 +233,10 @@ def train_giant_graph(
     optimizer = optax.adam(config.learning_rate)
     opt_state = optimizer.init((conv_params, embed))
 
-    step = make_giant_step(sg, mesh, config, optimizer, axis, opt_state)
+    step = make_giant_step(
+        sg, mesh, config, optimizer, axis, opt_state,
+        params=(conv_params, embed),
+    )
 
     t0 = time.perf_counter()
     history = []
@@ -217,6 +245,11 @@ def train_giant_graph(
     K = max(1, config.epochs_per_call)
     # chunks are fixed-size (scan length is static); total epochs round up
     # to a multiple of epochs_per_call, like the giant_demo trainers
+    if config.number_epochs % K:
+        logger.info(
+            "number_epochs=%d rounds up to %d (epochs_per_call=%d chunks)",
+            config.number_epochs, -(-config.number_epochs // K) * K, K,
+        )
     while epoch < config.number_epochs:
         conv_params, embed, opt_state, losses = step(
             conv_params, embed, opt_state

@@ -58,6 +58,10 @@ class ShardedGraph:
     ell_senders: jnp.ndarray | None = None   # int32 [D, D, n_shard, ell_w]
     ell_weights: jnp.ndarray | None = None   # f32   [D, D, n_shard, ell_w]
     ell_mask: jnp.ndarray | None = None      # f32   [D, D, n_shard, ell_w]
+    # static: True iff the directed COO was verified symmetric (A^T = A) at
+    # build time; gates the symmetric custom VJP (spmm.sharded_spmm_sym) —
+    # asymmetric graphs fall back to the autodiff backward.
+    symmetric: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_shards(self) -> int:
@@ -140,6 +144,22 @@ def partition_nodes_bfs(
     return owner
 
 
+def is_symmetric_coo(
+    senders: np.ndarray, receivers: np.ndarray, weights: np.ndarray
+) -> bool:
+    """True iff the directed COO multiset equals its transpose
+    ({(s, r, w)} == {(r, s, w)}); O(E log E) host-side."""
+    if senders.shape[0] != receivers.shape[0]:
+        return False
+    fwd = np.lexsort((weights, receivers, senders))
+    bwd = np.lexsort((weights, senders, receivers))
+    return (
+        np.array_equal(senders[fwd], receivers[bwd])
+        and np.array_equal(receivers[fwd], senders[bwd])
+        and np.allclose(weights[fwd], weights[bwd])
+    )
+
+
 def shard_graph(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -149,6 +169,8 @@ def shard_graph(
     owner: np.ndarray | None = None,
     edge_pad_multiple: int = 128,
     build_ell: bool = True,
+    check_symmetry: bool = True,
+    ell_budget_bytes: int = 1 << 30,
 ) -> Tuple[ShardedGraph, np.ndarray]:
     """Build a `ShardedGraph` from directed COO arrays.
 
@@ -156,6 +178,13 @@ def shard_graph(
     so each shard's nodes are locally dense ``[0, n_shard)``; returns
     ``(sharded_graph, global_to_local)`` where ``global_to_local[v]``
     encodes ``owner * n_shard + local_index`` for decoding results.
+
+    ``check_symmetry``: verify A^T = A once at build time (sort-based, a
+    few seconds at 80M edges) so the symmetric custom VJP
+    (``spmm.sharded_spmm_sym``) is only used when its algebra holds;
+    asymmetric inputs get ``symmetric=False`` and the autodiff backward.
+    Pass False to skip the check and assert symmetry (trusted callers,
+    e.g. the on-device circulant generators).
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -164,6 +193,9 @@ def shard_graph(
         if weights is None
         else np.asarray(weights, dtype=np.float32)
     )
+    symmetric = True
+    if check_symmetry:
+        symmetric = is_symmetric_coo(senders, receivers, w)
     if owner is None:
         owner = partition_nodes_contiguous(n, num_shards)
 
@@ -198,10 +230,19 @@ def shard_graph(
     deg_group = np.zeros((num_shards, num_shards, n_shard), dtype=np.int64)
     np.add.at(deg_group, (recv_shard, group, local[receivers]), 1)
     ell_w = int(deg_group.max()) if deg_group.size else 0
-    # skip the tables when a hub/partition pathology would blow memory
+    # skip the tables when a hub/partition pathology would blow memory or
+    # trace size: (a) byte budget across all THREE tables (senders/weights/
+    # mask, 4 B each — ell_w is the max per-(shard,group) in-degree, so one
+    # hub inflates every D^2 table); (b) skew ceiling — if the max in-degree
+    # is far above the mean occupied in-degree, the unrolled gather loop
+    # would mostly process padding (and its trace grows with ell_w).
+    occupied = deg_group[deg_group > 0]
+    mean_deg = float(occupied.mean()) if occupied.size else 0.0
+    ell_bytes = 3 * 4 * num_shards * num_shards * n_shard * ell_w
     use_ell = (
         build_ell and ell_w > 0
-        and num_shards * num_shards * n_shard * ell_w <= (1 << 28)
+        and ell_bytes <= ell_budget_bytes
+        and ell_w <= max(8.0, 8.0 * mean_deg)
     )
     if use_ell:
         ES = np.full(
@@ -247,5 +288,6 @@ def shard_graph(
         ell_senders=jnp.asarray(ES) if use_ell else None,
         ell_weights=jnp.asarray(EW) if use_ell else None,
         ell_mask=jnp.asarray(EM) if use_ell else None,
+        symmetric=symmetric,
     )
     return sg, g2l

@@ -159,12 +159,20 @@ def sharded_gcn_conv(
     deg = jnp.maximum(sg_shard.degrees, 1.0)
     norm = jax.lax.rsqrt(deg)[:, None]
     in_f, out_f = w.shape
+    # symmetric custom VJP only when shard_graph verified A^T = A; an
+    # asymmetric graph (directed / asymmetric weights) keeps the autodiff
+    # backward, which is correct for any operator (ADVICE round 1).
+    agg = (
+        sharded_spmm_sym
+        if sg_shard.symmetric
+        else lambda sg, h, ax, sched: make_sharded_spmm(sched)(sg, h, ax)
+    )
     h = x * norm
     if in_f > out_f:
         h = h @ w
-        h = sharded_spmm_sym(sg_shard, h, axis_name, schedule)
+        h = agg(sg_shard, h, axis_name, schedule)
     else:
-        h = sharded_spmm_sym(sg_shard, h, axis_name, schedule)
+        h = agg(sg_shard, h, axis_name, schedule)
         h = h @ w
     return h * norm + b
 
@@ -229,6 +237,10 @@ def sharded_cut_edgeform(
     total_w = jax.lax.psum(
         jnp.sum(sg_shard.weights * sg_shard.edge_mask), axis_name
     )
-    same = jnp.sum(s * sharded_spmm_sym(sg_shard, s, axis_name, schedule))
-    same = jax.lax.psum(same, axis_name)
+    As = (
+        sharded_spmm_sym(sg_shard, s, axis_name, schedule)
+        if sg_shard.symmetric
+        else make_sharded_spmm(schedule)(sg_shard, s, axis_name)
+    )
+    same = jax.lax.psum(jnp.sum(s * As), axis_name)
     return (total_w - same) / 2.0

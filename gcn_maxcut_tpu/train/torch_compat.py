@@ -76,12 +76,15 @@ class _PickleShim(types.ModuleType):
 
     @staticmethod
     def load(f, **kwargs):
-        kwargs.pop("encoding", None)
-        return _PermissiveUnpickler(f).load()
+        # forward torch.load's encoding (legacy py2-era .pth files are
+        # latin1-encoded; dropping it would mis-decode them)
+        enc = {"encoding": kwargs["encoding"]} if "encoding" in kwargs else {}
+        return _PermissiveUnpickler(f, **enc).load()
 
     @staticmethod
     def loads(s, **kwargs):
-        return _PermissiveUnpickler(io.BytesIO(s)).load()
+        enc = {"encoding": kwargs["encoding"]} if "encoding" in kwargs else {}
+        return _PermissiveUnpickler(io.BytesIO(s), **enc).load()
 
 
 _pickle_shim = _PickleShim("gcn_maxcut_tpu._torch_pickle_shim")
