@@ -126,6 +126,220 @@ def bar_plot_speedup(
     return _finish(fig, save_path)
 
 
+def bar_plot_generic_dot(
+    categories: Sequence[str],
+    series: Dict[str, Sequence[float]],
+    std_percent: Optional[Dict[str, Sequence[float]]] = None,
+    dot_overlay: Optional[Dict[str, Sequence[float]]] = None,
+    title: str = "Algorithm comparison",
+    ylabel: str = "Cut value",
+    annotate_percent_of: Optional[str] = None,
+    y_lim: Optional[float] = None,
+    save_path: Optional[str] = None,
+):
+    """Grouped bars with parameterized labels, percent-std error bars, and
+    an optional dot-pattern overlay bar per series.
+
+    Capability parity with the reference's parameterized-label variant
+    (``Visualization/NeuralTesting.py:565-741`` ``barPlot_generic_dot``):
+    any number of named series (the reference's ``barLabels``), per-series
+    std expressed in PERCENT of the bar value (its ``nn_std_percent*``
+    family), and a hatched "dot pattern" overlay drawn on top of a series
+    from a second value list (its ``neural_cut2_dots``) — used to show the
+    pre-post-processing value inside the post-processed bar.
+
+    ``dot_overlay``: {series_name: values} overlay bars (dotted hatch,
+    transparent face) drawn at the same x offset as that series.
+    """
+    _require_mpl()
+    names = list(series)
+    x = np.arange(len(categories))
+    width = 0.8 / len(names)
+    fig, ax = plt.subplots(figsize=(max(8, len(categories) * 1.8), 5))
+    ref_vals = (
+        np.asarray(series[annotate_percent_of], dtype=float)
+        if annotate_percent_of
+        else None
+    )
+    for i, name in enumerate(names):
+        vals = np.asarray(series[name], dtype=float)
+        offs = x + (i - (len(names) - 1) / 2) * width
+        yerr = None
+        if std_percent and name in std_percent:
+            yerr = np.asarray(std_percent[name], dtype=float) / 100.0 * vals
+        bars = ax.bar(
+            offs, vals, width, label=name,
+            yerr=yerr, capsize=4 if yerr is not None else 0,
+            ecolor="black",
+        )
+        if dot_overlay and name in dot_overlay:
+            ax.bar(
+                offs,
+                np.asarray(dot_overlay[name], dtype=float),
+                width,
+                facecolor="none",
+                edgecolor="black",
+                hatch="..",
+                linewidth=0.5,
+            )
+        if ref_vals is not None and name != annotate_percent_of:
+            for b, v, r in zip(bars, vals, ref_vals):
+                if r > 0:
+                    ax.annotate(
+                        f"{100 * v / r:.0f}%",
+                        (b.get_x() + b.get_width() / 2, b.get_height()),
+                        ha="center", va="bottom", fontsize=8,
+                    )
+    ax.set_xticks(x)
+    ax.set_xticklabels(categories)
+    ax.set_xlabel("Graph size (nodes)")
+    ax.set_ylabel(ylabel)
+    if y_lim is not None:
+        ax.set_ylim(top=y_lim)
+    ax.set_title(title)
+    ax.legend()
+    return _finish(fig, save_path)
+
+
+def bar_plot_speedup_dot(
+    categories: Sequence[str],
+    times: Dict[str, Sequence[float]],
+    std_percent: Optional[Dict[str, Sequence[float]]] = None,
+    dot_overlay: Optional[Dict[str, Sequence[float]]] = None,
+    title: str = "Runtime comparison",
+    y_lim: Optional[float] = None,
+    save_path: Optional[str] = None,
+):
+    """Runtime bars with 'Ns' labels + error bars + dot-pattern overlay
+    (reference ``barPlot_3_speedup_dot``, ``NeuralTesting.py:744-909``)."""
+    _require_mpl()
+    names = list(times)
+    x = np.arange(len(categories))
+    width = 0.8 / len(names)
+    fig, ax = plt.subplots(figsize=(max(8, len(categories) * 1.8), 5))
+    for i, name in enumerate(names):
+        vals = np.asarray(times[name], dtype=float)
+        offs = x + (i - (len(names) - 1) / 2) * width
+        yerr = None
+        if std_percent and name in std_percent:
+            yerr = np.asarray(std_percent[name], dtype=float) / 100.0 * vals
+        bars = ax.bar(
+            offs, vals, width, label=name,
+            yerr=yerr, capsize=4 if yerr is not None else 0,
+            ecolor="black",
+        )
+        if dot_overlay and name in dot_overlay:
+            ax.bar(
+                offs,
+                np.asarray(dot_overlay[name], dtype=float),
+                width,
+                facecolor="none",
+                edgecolor="black",
+                hatch="..",
+                linewidth=0.5,
+            )
+        for b, v in zip(bars, vals):
+            ax.annotate(
+                f"{v:.2g}s",
+                (b.get_x() + b.get_width() / 2, b.get_height()),
+                ha="center", va="bottom", fontsize=8,
+            )
+    ax.set_xticks(x)
+    ax.set_xticklabels(categories)
+    ax.set_xlabel("Graph size (nodes)")
+    ax.set_ylabel("Time (s)")
+    ax.set_yscale("log")
+    if y_lim is not None:
+        ax.set_ylim(top=y_lim)
+    ax.set_title(title)
+    ax.legend()
+    return _finish(fig, save_path)
+
+
+def bar_plot_2_speedup(
+    categories: Sequence[str],
+    times_a: Sequence[float],
+    times_b: Sequence[float],
+    labels: Sequence[str] = ("GCN", "GCN with post-processing"),
+    std_percent: Optional[Sequence[float]] = None,
+    title: str = "Balanced 3-way max-cut",
+    y_lim: Optional[float] = None,
+    save_path: Optional[str] = None,
+):
+    """Two-series runtime bars with percent-std error bars and 'Ns' value
+    labels above each bar (reference ``barPlot_2_speedUp``,
+    ``NeuralTesting.py:256-381``: GCN vs GCN+post times per size)."""
+    _require_mpl()
+    std = (
+        {labels[0]: std_percent, labels[1]: std_percent}
+        if std_percent is not None
+        else None
+    )
+    return bar_plot_speedup_dot(
+        categories,
+        {labels[0]: times_a, labels[1]: times_b},
+        std_percent=std,
+        title=title,
+        y_lim=y_lim,
+        save_path=save_path,
+    )
+
+
+def generate_sample_baseline_data(
+    results_by_size: Dict,
+    noise_factor: float = 0.1,
+    seed: int = 0,
+) -> Dict:
+    """Synthetic solver/randomized demo series for visualization examples.
+
+    Library form of the reference's notebook helper
+    (``neural_network_visualization.ipynb`` cell 8
+    ``generate_sample_baseline_data``): from a ``results_by_size`` mapping
+    (the eval harness's per-size buckets with ``simple``/``post_processed``
+    cut/time lists), fabricate plausible solver (better, slower) and
+    randomized (worse, faster) series plus per-series std-percent lists so
+    every chart shape can be demonstrated without a solver run.  Explicitly
+    synthetic — for demo figures only; real comparisons come from
+    ``baselines/``.
+    """
+    rng = np.random.default_rng(seed)
+    out: Dict = {}
+    for size, data in results_by_size.items():
+        simple = data.get("simple", {})
+        post = data.get("post_processed", {})
+        gcn_cuts = list(post.get("cut_values", []))
+        if not gcn_cuts:
+            continue
+        gcn_times = list(post.get("times", [0.1] * len(gcn_cuts)))
+        solver_cuts = [
+            max(c, c * (1.1 + rng.normal(0, noise_factor))) for c in gcn_cuts
+        ]
+        random_cuts = [c * (0.9 + rng.normal(0, noise_factor)) for c in gcn_cuts]
+        out[size] = {
+            "solver": {
+                "cut_values": solver_cuts,
+                "times": [t * (10 + rng.exponential(5)) for t in gcn_times],
+                "std_percent": list(rng.uniform(2, 5, len(gcn_cuts))),
+            },
+            "randomized": {
+                "cut_values": random_cuts,
+                "times": [t * max(0.01, 0.1 + rng.normal(0, 0.05)) for t in gcn_times],
+                "std_percent": list(rng.uniform(8, 15, len(gcn_cuts))),
+            },
+            "gcn_simple": {
+                "cut_values": list(simple.get("cut_values", gcn_cuts)),
+                "times": list(simple.get("times", gcn_times)),
+                "std_percent": list(rng.uniform(3, 8, len(gcn_cuts))),
+            },
+            "gcn_post": {
+                "cut_values": gcn_cuts,
+                "times": gcn_times,
+                "std_percent": list(rng.uniform(3, 8, len(gcn_cuts))),
+            },
+        }
+    return out
+
+
 def create_line_graph(
     sizes: Sequence[int],
     series: Dict[str, Sequence[float]],

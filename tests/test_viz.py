@@ -59,3 +59,72 @@ def test_panel_and_loss_history(tmp_path):
     assert (tmp_path / "panel.png").exists()
     plot_loss_history([-10, -50, -100], save_path=str(tmp_path / "loss.png"))
     assert (tmp_path / "loss.png").exists()
+
+
+def test_bar_plot_generic_dot_full_surface(tmp_path):
+    from gcn_maxcut_tpu.viz import bar_plot_generic_dot
+
+    cats = ["n=50", "n=100", "n=200"]
+    series = {
+        "CPLEX": [100, 200, 400],
+        "Randomized Algorithm": [80, 150, 320],
+        "GCN With Post-processing": [95, 190, 390],
+    }
+    fig = bar_plot_generic_dot(
+        cats,
+        series,
+        std_percent={"Randomized Algorithm": [8, 9, 10],
+                     "GCN With Post-processing": [4, 5, 6]},
+        dot_overlay={"GCN With Post-processing": [90, 180, 370]},
+        annotate_percent_of="CPLEX",
+        y_lim=450,
+        save_path=str(tmp_path / "gd.png"),
+    )
+    assert (tmp_path / "gd.png").exists()
+    # parameterized labels end up in the legend
+    labels = [t.get_text() for t in fig.axes[0].get_legend().get_texts()]
+    assert labels == list(series)
+
+
+def test_bar_plot_speedup_dot_and_2_speedup(tmp_path):
+    from gcn_maxcut_tpu.viz import bar_plot_2_speedup, bar_plot_speedup_dot
+
+    fig = bar_plot_speedup_dot(
+        ["n=50", "n=100"],
+        {"Solver": [3.0, 5.0], "GCN": [0.4, 0.6]},
+        std_percent={"GCN": [5, 5]},
+        dot_overlay={"GCN": [0.3, 0.5]},
+        save_path=str(tmp_path / "spd.png"),
+    )
+    assert (tmp_path / "spd.png").exists()
+    fig2 = bar_plot_2_speedup(
+        ["n=50", "n=100"], [0.4, 0.6], [1.2, 1.9],
+        std_percent=[5, 7], save_path=str(tmp_path / "sp2.png"),
+    )
+    assert (tmp_path / "sp2.png").exists()
+
+
+def test_generate_sample_baseline_data_shapes():
+    from gcn_maxcut_tpu.viz import generate_sample_baseline_data
+
+    results = {
+        50: {
+            "simple": {"cut_values": [90, 92], "times": [0.01, 0.01]},
+            "post_processed": {"cut_values": [100, 104], "times": [0.2, 0.2]},
+        },
+        100: {"simple": {"cut_values": []}, "post_processed": {"cut_values": []}},
+    }
+    synth = generate_sample_baseline_data(results, seed=1)
+    assert set(synth) == {50}  # empty sizes skipped, like the reference
+    for algo in ("solver", "randomized", "gcn_simple", "gcn_post"):
+        assert len(synth[50][algo]["cut_values"]) == 2
+        assert len(synth[50][algo]["std_percent"]) == 2
+    # solver never below GCN+post; randomized drawn around 0.9x
+    assert all(
+        s >= g
+        for s, g in zip(
+            synth[50]["solver"]["cut_values"], synth[50]["gcn_post"]["cut_values"]
+        )
+    )
+    # deterministic under a fixed seed
+    assert synth == generate_sample_baseline_data(results, seed=1)
