@@ -76,6 +76,20 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, f32p,
         ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int64,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gt_shard_counts.restype = ctypes.c_int64
+    lib.gt_shard_counts.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, i32p, i32p, i32p,
+        ctypes.c_int64, i32p, i64p, i64p, i32p,
+    ]
+    lib.gt_shard_fill.restype = None
+    lib.gt_shard_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, f32p, i32p, i32p,
+        i64p, i32p, i32p, i32p, f32p, f32p, f32p, i32p, f32p, f32p,
+    ]
+    lib.gt_symmetry_check.restype = ctypes.c_int32
+    lib.gt_symmetry_check.argtypes = [ctypes.c_int64, i32p, i32p, f32p]
     _lib = lib
     return _lib
 
@@ -201,3 +215,124 @@ def greedy_maxcut_native(
         max_steps,
     )
     return asn.astype(np.int64), float(val)
+
+
+def symmetry_check_native(
+    senders: np.ndarray, receivers: np.ndarray, weights: np.ndarray | None
+) -> Optional[bool]:
+    """Order-independent hashed A^T = A check, O(E) single pass; None if
+    the library is unavailable (callers fall back to the sort-based check)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(senders), _i32(receivers)
+    w = (
+        None if weights is None
+        else np.ascontiguousarray(weights, dtype=np.float32)
+    )
+    ok = lib.gt_symmetry_check(
+        src.shape[0],
+        _ptr(src, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(dst, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(w, ctypes.POINTER(ctypes.c_float)) if w is not None else None,
+    )
+    return bool(ok)
+
+
+def shard_assembly_native(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    owner: np.ndarray,
+    n: int,
+    num_shards: int,
+    weights: np.ndarray | None = None,
+    edge_pad_multiple: int = 128,
+    build_ell: bool = True,
+    ell_budget_bytes: int = 1 << 30,
+) -> Optional[dict]:
+    """O(E) native assembly of the node-sharded edge-group buffers.
+
+    The C++ twin of ``parallel.partition.shard_graph``'s bucket assembly
+    (same output contract, bit-for-bit): counting-sort by (receiver shard,
+    ring hop, local receiver) with one read pass and one write pass —
+    replaces the NumPy lexsort path at 10M-node scale (measured ~10x on the
+    build host).  Returns None if the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+
+    def _round_up(x: int, m: int) -> int:
+        return ((x + m - 1) // m) * m if x else 0
+
+    src, dst, own = _i32(senders), _i32(receivers), _i32(owner)
+    e = src.shape[0]
+    w = (
+        None
+        if weights is None
+        else np.ascontiguousarray(weights, dtype=np.float32)
+    )
+    sizes = np.bincount(own, minlength=num_shards)
+    n_shard = max(_round_up(int(sizes.max()) if sizes.size else 0, 8), 8)
+
+    D = num_shards
+    local = np.empty(n, dtype=np.int32)
+    shard_sizes = np.empty(D, dtype=np.int64)
+    counts = np.empty(D * D, dtype=np.int64)
+    deg_group = np.zeros(D * D * n_shard, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    ell_w = lib.gt_shard_counts(
+        e, n, D, _ptr(src, i32p), _ptr(dst, i32p), _ptr(own, i32p),
+        n_shard, _ptr(local, i32p), _ptr(shard_sizes, i64p),
+        _ptr(counts, i64p), _ptr(deg_group, i32p),
+    )
+    if ell_w < 0:
+        raise ValueError("shard assembly: node id or owner out of range")
+
+    e_group = _round_up(int(counts.max()) if counts.size else 0,
+                        edge_pad_multiple)
+    nz = int(np.count_nonzero(deg_group))
+    mean_deg = (e / nz) if nz else 0.0
+    ell_bytes = 3 * 4 * D * D * n_shard * int(ell_w)
+    use_ell = (
+        build_ell and ell_w > 0
+        and ell_bytes <= ell_budget_bytes
+        and ell_w <= max(8.0, 8.0 * mean_deg)
+    )
+    ell_w_eff = int(ell_w) if use_ell else 0
+
+    S = np.empty((D, D, e_group), dtype=np.int32)
+    R = np.empty_like(S)
+    W = np.empty((D, D, e_group), dtype=np.float32)
+    M = np.empty_like(W)
+    degrees = np.empty((D, n_shard), dtype=np.float32)
+    if use_ell:
+        ES = np.empty((D, D, n_shard, ell_w_eff), dtype=np.int32)
+        EW = np.empty((D, D, n_shard, ell_w_eff), dtype=np.float32)
+        EM = np.empty_like(EW)
+    else:
+        ES = EW = EM = None
+    lib.gt_shard_fill(
+        e, n, D, n_shard, e_group, ell_w_eff,
+        _ptr(src, i32p), _ptr(dst, i32p),
+        _ptr(w, f32p) if w is not None else None,
+        _ptr(own, i32p), _ptr(local, i32p),
+        _ptr(counts, i64p), _ptr(deg_group, i32p),
+        _ptr(S, i32p), _ptr(R, i32p), _ptr(W, f32p), _ptr(M, f32p),
+        _ptr(degrees, f32p),
+        _ptr(ES, i32p) if use_ell else None,
+        _ptr(EW, f32p) if use_ell else None,
+        _ptr(EM, f32p) if use_ell else None,
+    )
+    return {
+        "local": local.astype(np.int64),
+        "shard_sizes": shard_sizes,
+        "n_shard": n_shard,
+        "e_group": e_group,
+        "S": S, "R": R, "W": W, "M": M,
+        "degrees": degrees,
+        "ES": ES, "EW": EW, "EM": EM,
+        "use_ell": use_ell,
+    }

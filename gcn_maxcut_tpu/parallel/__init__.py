@@ -4,6 +4,8 @@ from gcn_maxcut_tpu.parallel.partition import (
     shard_graph,
     partition_nodes_contiguous,
     partition_nodes_bfs,
+    partition_quality,
+    is_symmetric_coo,
 )
 from gcn_maxcut_tpu.parallel.spmm import (
     sharded_spmm_allgather,
@@ -23,6 +25,8 @@ __all__ = [
     "shard_graph",
     "partition_nodes_contiguous",
     "partition_nodes_bfs",
+    "partition_quality",
+    "is_symmetric_coo",
     "sharded_spmm_allgather",
     "sharded_spmm_ring",
     "make_sharded_spmm",

@@ -144,13 +144,50 @@ def partition_nodes_bfs(
     return owner
 
 
+def partition_quality(
+    owner: np.ndarray, senders: np.ndarray, receivers: np.ndarray
+) -> dict:
+    """Edge-cut quality of a node->shard assignment.
+
+    Returns ``cross_shard_edge_fraction`` (the metric that decides ring
+    traffic: fraction of directed edges whose endpoints live on different
+    shards), ``imbalance`` (max shard size / mean), and per-hop-distance
+    edge counts (``edges_by_hop[s]`` = edges the ring serves at hop s) —
+    the measured basis for choosing BFS vs contiguous partitioners.
+    """
+    owner = np.asarray(owner)
+    num_shards = int(owner.max()) + 1 if owner.size else 1
+    send_shard = owner[senders]
+    recv_shard = owner[receivers]
+    cross = send_shard != recv_shard
+    hops = (send_shard - recv_shard) % num_shards
+    sizes = np.bincount(owner, minlength=num_shards)
+    return {
+        "num_shards": num_shards,
+        "cross_shard_edge_fraction": float(cross.mean()) if cross.size else 0.0,
+        "imbalance": float(sizes.max() / max(sizes.mean(), 1e-9)),
+        "edges_by_hop": np.bincount(hops, minlength=num_shards).tolist(),
+        "shard_sizes": sizes.tolist(),
+    }
+
+
 def is_symmetric_coo(
     senders: np.ndarray, receivers: np.ndarray, weights: np.ndarray
 ) -> bool:
     """True iff the directed COO multiset equals its transpose
-    ({(s, r, w)} == {(r, s, w)}); O(E log E) host-side."""
+    ({(s, r, w)} == {(r, s, w)}).
+
+    Native O(E) order-independent hash when the toolkit is built
+    (``native/graphtools.cpp::gt_symmetry_check``); O(E log E) sort-based
+    check otherwise.
+    """
     if senders.shape[0] != receivers.shape[0]:
         return False
+    from gcn_maxcut_tpu.native.bindings import symmetry_check_native
+
+    native = symmetry_check_native(senders, receivers, weights)
+    if native is not None:
+        return native
     fwd = np.lexsort((weights, receivers, senders))
     bwd = np.lexsort((weights, senders, receivers))
     return (
@@ -171,6 +208,7 @@ def shard_graph(
     build_ell: bool = True,
     check_symmetry: bool = True,
     ell_budget_bytes: int = 1 << 30,
+    use_native: bool = True,
 ) -> Tuple[ShardedGraph, np.ndarray]:
     """Build a `ShardedGraph` from directed COO arrays.
 
@@ -198,45 +236,93 @@ def shard_graph(
         symmetric = is_symmetric_coo(senders, receivers, w)
     if owner is None:
         owner = partition_nodes_contiguous(n, num_shards)
+    owner = np.asarray(owner, dtype=np.int64)
 
-    n_shard = round_up(int(np.max(np.bincount(owner, minlength=num_shards))), 8)
+    # fast lane: the native O(E) counting-sort assembly (same contract)
+    if use_native and n < (1 << 31):
+        from gcn_maxcut_tpu.native.bindings import shard_assembly_native
 
-    # local index of each node within its shard (order-preserving)
-    local = np.zeros(n, dtype=np.int64)
-    for d in range(num_shards):
-        members = np.nonzero(owner == d)[0]
-        local[members] = np.arange(members.size)
+        res = shard_assembly_native(
+            senders, receivers, owner, n, num_shards,
+            weights=weights,
+            edge_pad_multiple=edge_pad_multiple,
+            build_ell=build_ell,
+            ell_budget_bytes=ell_budget_bytes,
+        )
+        if res is not None:
+            g2l = owner * res["n_shard"] + res["local"]
+            sg = ShardedGraph(
+                senders=jnp.asarray(res["S"]),
+                receivers=jnp.asarray(res["R"]),
+                weights=jnp.asarray(res["W"]),
+                edge_mask=jnp.asarray(res["M"]),
+                degrees=jnp.asarray(res["degrees"]),
+                node_mask=(
+                    jnp.arange(res["n_shard"])[None, :]
+                    < jnp.asarray(res["shard_sizes"])[:, None]
+                ).astype(jnp.float32),
+                n_nodes=jnp.asarray(n, dtype=jnp.int32),
+                ell_senders=jnp.asarray(res["ES"]) if res["use_ell"] else None,
+                ell_weights=jnp.asarray(res["EW"]) if res["use_ell"] else None,
+                ell_mask=jnp.asarray(res["EM"]) if res["use_ell"] else None,
+                symmetric=symmetric,
+            )
+            return sg, g2l
+
+    shard_sizes = np.bincount(owner, minlength=num_shards)
+    n_shard = round_up(int(shard_sizes.max()), 8)
+
+    # local index of each node within its shard (order-preserving): rank of
+    # the node among its shard's members, via one stable sort over owners
+    node_order = np.argsort(owner, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(shard_sizes)[:-1]])
+    local = np.empty(n, dtype=np.int64)
+    local[node_order] = np.arange(n) - np.repeat(starts, shard_sizes)
 
     recv_shard = owner[receivers]
     send_shard = owner[senders]
     group = (send_shard - recv_shard) % num_shards  # ring hop distance
+    r_loc_all = local[receivers]
 
-    # bucket sizes -> common padded group size
-    counts = np.zeros((num_shards, num_shards), dtype=np.int64)
-    for d in range(num_shards):
-        for s in range(num_shards):
-            counts[d, s] = np.sum((recv_shard == d) & (group == s))
-    e_group = round_up(int(counts.max()), edge_pad_multiple)
+    # ---- fully vectorized (shard, group) bucket assembly -------------------
+    # One global lexsort orders edges by (recv_shard, group, local receiver);
+    # every per-(d, s) quantity then falls out of bincounts and run-length
+    # arithmetic.  Round 1 looped over the D^2 buckets in Python with a
+    # per-bucket argsort — the host step dominated wall-clock at 10M-node /
+    # 8-shard scale (measured; see PARITY.md).
+    e_sorted = np.lexsort((r_loc_all, group, recv_shard))
+    ds_key = (recv_shard * num_shards + group)[e_sorted]
+    counts_flat = np.bincount(ds_key, minlength=num_shards * num_shards)
+    e_group = round_up(int(counts_flat.max()) if counts_flat.size else 0,
+                       edge_pad_multiple)
+    bucket_starts = np.concatenate([[0], np.cumsum(counts_flat)[:-1]])
+    # position of each (sorted) edge within its bucket
+    pos = np.arange(e_sorted.size) - np.repeat(bucket_starts, counts_flat)
 
-    S = np.zeros((num_shards, num_shards, e_group), dtype=np.int32)
-    R = np.zeros((num_shards, num_shards, e_group), dtype=np.int32)
+    S = np.full((num_shards, num_shards, e_group), n_shard - 1, dtype=np.int32)
+    R = np.full_like(S, n_shard - 1)
     W = np.zeros((num_shards, num_shards, e_group), dtype=np.float32)
-    M = np.zeros((num_shards, num_shards, e_group), dtype=np.float32)
-    # padding edges point at the last local row with zero mask
-    S[:] = n_shard - 1
-    R[:] = n_shard - 1
+    M = np.zeros_like(W)
+    flat = ds_key * e_group + pos
+    S.reshape(-1)[flat] = local[senders[e_sorted]]
+    R.reshape(-1)[flat] = r_loc_all[e_sorted]
+    W.reshape(-1)[flat] = w[e_sorted]
+    M.reshape(-1)[flat] = 1.0
 
-    # per-(shard, group) in-degree of each local receiver -> ELL width
-    deg_group = np.zeros((num_shards, num_shards, n_shard), dtype=np.int64)
-    np.add.at(deg_group, (recv_shard, group, local[receivers]), 1)
-    ell_w = int(deg_group.max()) if deg_group.size else 0
+    # per-(shard, group) in-degree of each local receiver -> ELL width,
+    # via bincount on the combined (d, s, r_loc) key
+    dsr_key = ds_key * n_shard + r_loc_all[e_sorted]
+    deg_group_flat = np.bincount(
+        dsr_key, minlength=num_shards * num_shards * n_shard
+    )
+    ell_w = int(deg_group_flat.max()) if deg_group_flat.size else 0
     # skip the tables when a hub/partition pathology would blow memory or
     # trace size: (a) byte budget across all THREE tables (senders/weights/
     # mask, 4 B each — ell_w is the max per-(shard,group) in-degree, so one
     # hub inflates every D^2 table); (b) skew ceiling — if the max in-degree
     # is far above the mean occupied in-degree, the unrolled gather loop
     # would mostly process padding (and its trace grows with ell_w).
-    occupied = deg_group[deg_group > 0]
+    occupied = deg_group_flat[deg_group_flat > 0]
     mean_deg = float(occupied.mean()) if occupied.size else 0.0
     ell_bytes = 3 * 4 * num_shards * num_shards * n_shard * ell_w
     use_ell = (
@@ -248,33 +334,27 @@ def shard_graph(
         ES = np.full(
             (num_shards, num_shards, n_shard, ell_w), n_shard - 1, np.int32
         )
-        EW = np.zeros_like(ES, dtype=np.float32)
+        EW = np.zeros((num_shards, num_shards, n_shard, ell_w), np.float32)
         EM = np.zeros_like(EW)
-
-    for d in range(num_shards):
-        for s in range(num_shards):
-            sel = np.nonzero((recv_shard == d) & (group == s))[0]
-            m = sel.size
-            # sort by local receiver for segment-sum friendliness
-            order = np.argsort(local[receivers[sel]], kind="stable")
-            sel = sel[order]
-            S[d, s, :m] = local[senders[sel]]
-            R[d, s, :m] = local[receivers[sel]]
-            W[d, s, :m] = w[sel]
-            M[d, s, :m] = 1.0
-            if use_ell and m:
-                r_loc = local[receivers[sel]]
-                # slot within each run of equal (sorted) receivers
-                slot = np.arange(m) - np.searchsorted(r_loc, r_loc)
-                ES[d, s, r_loc, slot] = local[senders[sel]]
-                EW[d, s, r_loc, slot] = w[sel]
-                EM[d, s, r_loc, slot] = 1.0
+        # slot within each run of equal (d, s, r_loc): edges are already
+        # sorted by dsr_key, so slot = index − start-of-run
+        run_starts = np.concatenate(
+            [[0], np.cumsum(np.bincount(dsr_key))[:-1]]
+        )
+        slot = np.arange(e_sorted.size) - run_starts[dsr_key]
+        ell_flat = dsr_key * ell_w + slot
+        ES.reshape(-1)[ell_flat] = local[senders[e_sorted]]
+        EW.reshape(-1)[ell_flat] = w[e_sorted]
+        EM.reshape(-1)[ell_flat] = 1.0
 
     degrees = np.zeros((num_shards, n_shard), dtype=np.float32)
-    np.add.at(degrees, (recv_shard, local[receivers]), 1.0)
-    node_mask = np.zeros((num_shards, n_shard), dtype=np.float32)
-    for d in range(num_shards):
-        node_mask[d, : int(np.sum(owner == d))] = 1.0
+    deg_flat = np.bincount(
+        recv_shard * n_shard + r_loc_all, minlength=num_shards * n_shard
+    )
+    degrees.reshape(-1)[:] = deg_flat
+    node_mask = (
+        np.arange(n_shard)[None, :] < shard_sizes[:, None]
+    ).astype(np.float32)
 
     g2l = owner * n_shard + local
     sg = ShardedGraph(

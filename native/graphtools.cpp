@@ -240,4 +240,167 @@ double gt_greedy_maxcut(int32_t n, int64_t e, const int32_t* src,
   return cut_of();
 }
 
+// ---- node-sharded COO assembly (parallel/partition.shard_graph hot path) --
+//
+// Phase 1 (gt_shard_counts): local node index within each shard, shard
+// sizes, per-(receiver-shard, ring-hop) bucket sizes, and the
+// per-(bucket, local-receiver) in-degree histogram; returns the max in-
+// degree (the ELL width).  Phase 2 (gt_shard_fill) scatters the edges into
+// the padded [D, D, e_group] group buffers — sorted stably by local
+// receiver within each bucket via the phase-1 histogram turned into run
+// offsets — and fills the ELL tables and degree vector in the same pass.
+// The NumPy path does the same with an O(E log E) lexsort + several full-
+// array gathers; this is O(E) with one read pass and one write pass.
+
+// owner: [n] node -> shard.  Outputs: local[n], shard_sizes[D],
+// counts[D*D], deg_group[D*D*n_shard] (caller-zeroed int32).
+// Returns max ELL width, or -1 if any owner/id is out of range.
+int64_t gt_shard_counts(int64_t e, int64_t n, int32_t num_shards,
+                        const int32_t* src, const int32_t* dst,
+                        const int32_t* owner, int64_t n_shard,
+                        int32_t* local, int64_t* shard_sizes,
+                        int64_t* counts, int32_t* deg_group) {
+  const int32_t D = num_shards;
+  std::fill(shard_sizes, shard_sizes + D, 0);
+  for (int64_t v = 0; v < n; ++v) {
+    int32_t o = owner[v];
+    if (o < 0 || o >= D) return -1;
+    local[v] = (int32_t)shard_sizes[o]++;
+  }
+  std::fill(counts, counts + (int64_t)D * D, 0);
+  int64_t ell_w = 0;
+  for (int64_t i = 0; i < e; ++i) {
+    if (src[i] < 0 || src[i] >= n || dst[i] < 0 || dst[i] >= n) return -1;
+    int32_t d = owner[dst[i]];
+    int32_t g = owner[src[i]] - d;
+    if (g < 0) g += D;
+    int64_t ds = (int64_t)d * D + g;
+    counts[ds]++;
+    int32_t c = ++deg_group[ds * n_shard + local[dst[i]]];
+    if (c > ell_w) ell_w = c;
+  }
+  return ell_w;
+}
+
+// Scatter pass.  deg_group is the phase-1 histogram (consumed/overwritten).
+// S/R/W/M: [D*D*e_group] (uninitialized; fully written incl. padding).
+// degrees: [D*n_shard] (uninitialized).  ES/EW/EM: [D*D*n_shard*ell_w] or
+// null when ell_w == 0.  w may be null (unit weights).
+void gt_shard_fill(int64_t e, int64_t n, int32_t num_shards, int64_t n_shard,
+                   int64_t e_group, int64_t ell_w, const int32_t* src,
+                   const int32_t* dst, const float* w, const int32_t* owner,
+                   const int32_t* local, int64_t* counts, int32_t* deg_group,
+                   int32_t* S, int32_t* R, float* W, float* M, float* degrees,
+                   int32_t* ES, float* EW, float* EM) {
+  const int32_t D = num_shards;
+  const int64_t DD = (int64_t)D * D;
+  const int32_t pad_idx = (int32_t)(n_shard - 1);
+
+  // degrees from the histogram before it is turned into offsets
+  std::fill(degrees, degrees + (int64_t)D * n_shard, 0.0f);
+  for (int32_t d = 0; d < D; ++d)
+    for (int32_t g = 0; g < D; ++g) {
+      const int32_t* row = deg_group + ((int64_t)d * D + g) * n_shard;
+      float* out = degrees + (int64_t)d * n_shard;
+      for (int64_t r = 0; r < n_shard; ++r) out[r] += (float)row[r];
+    }
+
+  // per-(bucket, local receiver) run offsets: exclusive prefix sum within
+  // each bucket; run_start keeps the original value for ELL slot indices.
+  std::vector<int32_t> run_start((size_t)DD * n_shard);
+  for (int64_t ds = 0; ds < DD; ++ds) {
+    int32_t* h = deg_group + ds * n_shard;
+    int32_t* rs = run_start.data() + ds * n_shard;
+    int32_t acc = 0;
+    for (int64_t r = 0; r < n_shard; ++r) {
+      int32_t c = h[r];
+      rs[r] = acc;
+      h[r] = acc;  // becomes the running cursor
+      acc += c;
+    }
+  }
+
+  // single scatter pass in original edge order (stable within runs)
+  for (int64_t i = 0; i < e; ++i) {
+    int32_t d = owner[dst[i]];
+    int32_t g = owner[src[i]] - d;
+    if (g < 0) g += D;
+    int64_t ds = (int64_t)d * D + g;
+    int32_t rl = local[dst[i]];
+    int32_t pos = deg_group[ds * n_shard + rl]++;
+    int64_t idx = ds * e_group + pos;
+    int32_t sl = local[src[i]];
+    float wi = w ? w[i] : 1.0f;
+    S[idx] = sl;
+    R[idx] = rl;
+    W[idx] = wi;
+    M[idx] = 1.0f;
+    if (ell_w > 0) {
+      int64_t slot = pos - run_start[(size_t)ds * n_shard + rl];
+      int64_t eidx = (ds * n_shard + rl) * ell_w + slot;
+      ES[eidx] = sl;
+      EW[eidx] = wi;
+      EM[eidx] = 1.0f;
+    }
+  }
+
+  // pad the bucket tails (mask 0, indices point at the last local row)
+  for (int64_t ds = 0; ds < DD; ++ds) {
+    int64_t used = counts[ds];
+    int64_t base = ds * e_group;
+    for (int64_t p = used; p < e_group; ++p) {
+      S[base + p] = pad_idx;
+      R[base + p] = pad_idx;
+      W[base + p] = 0.0f;
+      M[base + p] = 0.0f;
+    }
+  }
+
+  // pad the ELL slot tails (deg_group now holds the end cursor of each run)
+  if (ell_w > 0) {
+    for (int64_t dsr = 0; dsr < DD * n_shard; ++dsr) {
+      int64_t used = deg_group[dsr] - run_start[(size_t)dsr];
+      int64_t base = dsr * ell_w;
+      for (int64_t s = used; s < ell_w; ++s) {
+        ES[base + s] = pad_idx;
+        EW[base + s] = 0.0f;
+        EM[base + s] = 0.0f;
+      }
+    }
+  }
+}
+
+// Order-independent 128-bit hash of the directed COO multiset {(a, b, w)}.
+// gt_symmetry_check compares hash(s, r, w) with hash(r, s, w): equality
+// certifies A^T = A up to negligible collision probability — O(E), no sort.
+static inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 33;
+  x *= 0xff51afd7ed558ccdULL;
+  x ^= x >> 33;
+  x *= 0xc4ceb9fe1a85ec53ULL;
+  x ^= x >> 33;
+  return x;
+}
+
+int32_t gt_symmetry_check(int64_t e, const int32_t* src, const int32_t* dst,
+                          const float* w) {
+  uint64_t add_f = 0, xor_f = 0, add_b = 0, xor_b = 0;
+  for (int64_t i = 0; i < e; ++i) {
+    uint32_t wb;
+    float wf = w ? w[i] : 1.0f;
+    std::memcpy(&wb, &wf, 4);
+    // ((a << 32) | b) is injective in (a, b); fold w in after one mix
+    uint64_t wk = 0x9e3779b97f4a7c15ULL * ((uint64_t)wb + 1);
+    uint64_t hf = mix64(mix64(((uint64_t)(uint32_t)src[i] << 32) |
+                              (uint32_t)dst[i]) ^ wk);
+    uint64_t hb = mix64(mix64(((uint64_t)(uint32_t)dst[i] << 32) |
+                              (uint32_t)src[i]) ^ wk);
+    add_f += hf;
+    xor_f ^= hf;
+    add_b += hb;
+    xor_b ^= hb;
+  }
+  return (add_f == add_b && xor_f == xor_b) ? 1 : 0;
+}
+
 }  // extern "C"

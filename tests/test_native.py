@@ -92,3 +92,62 @@ def test_python_generate_dispatches_to_native_for_large_n():
     e = random_regular_edges(20_000, 4, seed=5)
     deg = np.bincount(e.ravel(), minlength=20_000)
     assert np.all(deg == 4)
+
+
+def test_native_shard_assembly_matches_numpy_path():
+    """gt_shard_counts/fill must reproduce the NumPy lexsort assembly
+    bit-for-bit (incl. ELL tables, padding, degrees, node masks)."""
+    import numpy as np
+    from gcn_maxcut_tpu.native.bindings import is_available
+    from gcn_maxcut_tpu.parallel import shard_graph
+
+    if not is_available():
+        import pytest
+
+        pytest.skip("native toolkit unavailable")
+    rng = np.random.default_rng(3)
+    n, deg, D = 96, 6, 8
+    from gcn_maxcut_tpu.data.generate import random_regular_edges
+
+    e = random_regular_edges(n, deg, seed=5)
+    s = np.concatenate([e[:, 0], e[:, 1]])
+    r = np.concatenate([e[:, 1], e[:, 0]])
+    w = rng.random(s.shape[0]).astype(np.float32)
+    w_sym = w.copy()  # make weights symmetric so the flag matches too
+    # build symmetric weights: weight of (u,v) == (v,u)
+    key = {}
+    for i in range(s.shape[0]):
+        a, b = min(s[i], r[i]), max(s[i], r[i])
+        w_sym[i] = key.setdefault((a, b), w[i])
+
+    nat, g2l_nat = shard_graph(s, r, n, D, weights=w_sym, use_native=True)
+    ref, g2l_ref = shard_graph(s, r, n, D, weights=w_sym, use_native=False)
+    np.testing.assert_array_equal(g2l_nat, g2l_ref)
+    assert nat.symmetric == ref.symmetric == True  # noqa: E712
+    for name in ("senders", "receivers", "weights", "edge_mask",
+                 "degrees", "node_mask", "ell_senders", "ell_weights",
+                 "ell_mask"):
+        a, b = getattr(nat, name), getattr(ref, name)
+        assert (a is None) == (b is None), name
+        if a is not None:
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name
+            )
+
+
+def test_native_symmetry_check_hash():
+    import numpy as np
+    from gcn_maxcut_tpu.native.bindings import is_available, symmetry_check_native
+
+    if not is_available():
+        import pytest
+
+        pytest.skip("native toolkit unavailable")
+    s = np.array([0, 1, 1, 2], dtype=np.int64)
+    r = np.array([1, 0, 2, 1], dtype=np.int64)
+    w = np.array([1.0, 1.0, 2.0, 2.0], dtype=np.float32)
+    assert symmetry_check_native(s, r, w) is True
+    w2 = np.array([1.0, 1.5, 2.0, 2.0], dtype=np.float32)
+    assert symmetry_check_native(s, r, w2) is False
+    # directed edge with no reverse
+    assert symmetry_check_native(s[:3], r[:3], w[:3]) is False

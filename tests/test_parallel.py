@@ -346,3 +346,55 @@ def test_asymmetric_graph_falls_back_to_autodiff_backward():
 
     expect = np.asarray(jax.grad(dense_loss)(jnp.asarray(x_global)))
     np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_partition_quality_banded_graph():
+    """Contiguous partitioning of a banded graph must keep almost all edges
+    local; the quality report quantifies it (VERDICT r1 item 5)."""
+    from gcn_maxcut_tpu.parallel import partition_quality
+
+    n, W = 512, 4
+    offs = np.array([1, 2, 3, 4])
+    s = np.repeat(np.arange(n), W)
+    r = (s + np.tile(offs, n)) % n
+    s2 = np.concatenate([s, r])
+    r2 = np.concatenate([r, s])
+    owner = partition_nodes_contiguous(n, 8)
+    q = partition_quality(owner, s2, r2)
+    # only the W rows at each of the 8 shard boundaries cross
+    assert q["cross_shard_edge_fraction"] <= (2 * W * 8 * W) / s2.shape[0]
+    assert q["cross_shard_edge_fraction"] > 0
+    assert q["imbalance"] == pytest.approx(1.0)
+    assert sum(q["edges_by_hop"]) == s2.shape[0]
+    # a random partition of the same graph is near-total cross traffic
+    rng = np.random.default_rng(0)
+    q_rand = partition_quality(rng.integers(0, 8, n), s2, r2)
+    assert q_rand["cross_shard_edge_fraction"] > 0.8
+
+
+def test_shard_graph_vectorized_matches_reference_assembly():
+    """The lexsort-based assembly must bucket/sort/ELL-pack exactly like a
+    straightforward per-bucket reference implementation."""
+    n, D_sh = 96, 4
+    rng = np.random.default_rng(11)
+    s, r = _random_coo(n, 6, 12)
+    w = rng.random(s.shape[0]).astype(np.float32)
+    sg, g2l = shard_graph(s, r, n, D_sh, weights=w)
+    n_shard = sg.n_shard
+    owner = g2l // n_shard
+    local = g2l % n_shard
+
+    S = np.asarray(sg.senders); R = np.asarray(sg.receivers)
+    Wt = np.asarray(sg.weights); M = np.asarray(sg.edge_mask)
+    for d in range(D_sh):
+        for grp in range(D_sh):
+            sel = np.nonzero(
+                (owner[r] == d) & ((owner[s] - owner[r]) % D_sh == grp)
+            )[0]
+            order = np.argsort(local[r[sel]], kind="stable")
+            sel = sel[order]
+            m = sel.size
+            assert M[d, grp, :m].sum() == m and M[d, grp, m:].sum() == 0
+            np.testing.assert_array_equal(S[d, grp, :m], local[s[sel]])
+            np.testing.assert_array_equal(R[d, grp, :m], local[r[sel]])
+            np.testing.assert_allclose(Wt[d, grp, :m], w[sel])
