@@ -1,0 +1,216 @@
+"""Cut-quality suite: the reference's headline experiment, end to end.
+
+Reproduces the committed post-processing run of
+``neural_network_testing.ipynb`` (BASELINE.md §3): train a GCNSoftmax on
+d-regular graphs, then evaluate fresh suites at sizes {50,100,200,300,500}
+with simple (argmax), post-processed (200 sampling iterations), and refined
+(greedy-flip) decoders, against the 10k-iteration randomized baseline.
+
+Training recipes (``recipe=``):
+  * ``"n500"``  — the reference's: 20 graphs n=500 d∈[6,8] (its committed
+    model ``final_maxcut_3way_n500_d6_8_t300``).
+  * ``"mixed"`` — same budget spread across the evaluation sizes (4 graphs
+    per size).  The reference's own per-size ``_100/_200/_300`` series
+    (``NeuralTestCode.py:517-558``) shows size-matched training matters;
+    a single mixed-size model is the deployable version of that insight.
+  * ``"per_size"`` — one model per evaluation size (the literal reference
+    series).
+
+Run: ``python -m gcn_maxcut_tpu bench --what quality`` or call
+:func:`run_quality_suite` directly.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from gcn_maxcut_tpu.baselines.randomized import randomized_k_way_maxcut
+from gcn_maxcut_tpu.core.graph import pad_graph_batch
+from gcn_maxcut_tpu.data.generate import generate_graph
+from gcn_maxcut_tpu.data.process import DataConfig, process_graphs
+from gcn_maxcut_tpu.eval.harness import test_single_graph
+from gcn_maxcut_tpu.train.loop import train_model
+from gcn_maxcut_tpu.train.config import TrainingConfig
+from gcn_maxcut_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+SIZES = (50, 100, 200, 300, 500)
+
+
+def _suite_specs(size: int, count: int, d_range=(6, 8), seed_base: int = 1000):
+    """Fresh test graphs per size (reference seeds ``size*1000+i``,
+    ``neural_network_testing.ipynb`` cell 8)."""
+    rng = np.random.default_rng(size * seed_base)
+    specs = []
+    i = 0
+    while len(specs) < count:
+        d = int(rng.integers(d_range[0], d_range[1] + 1))
+        if (size * d) % 2:
+            i += 1
+            continue
+        specs.append(
+            generate_graph(n=size, d=d, graph_type="reg", seed=size * 1000 + i)
+        )
+        i += 1
+    return specs
+
+
+def _train_specs(recipe: str, sizes=SIZES, d_range=(6, 8), seed: int = 1000):
+    rng = np.random.default_rng(seed)
+    out: Dict[str, List] = {}
+    if recipe == "n500":
+        specs = []
+        while len(specs) < 20:
+            d = int(rng.integers(d_range[0], d_range[1] + 1))
+            if (500 * d) % 2:
+                continue
+            specs.append(generate_graph(
+                n=500, d=d, graph_type="reg", seed=seed + len(specs)
+            ))
+        out["all"] = specs
+    elif recipe == "mixed":
+        specs = []
+        for s in sizes:
+            for j in range(4):
+                d = int(rng.integers(d_range[0], d_range[1] + 1))
+                if (s * d) % 2:
+                    d += 1
+                specs.append(generate_graph(
+                    n=s, d=d, graph_type="reg", seed=seed + 37 * s + j
+                ))
+        out["all"] = specs
+    elif recipe == "per_size":
+        for s in sizes:
+            specs = []
+            for j in range(10):
+                d = int(rng.integers(d_range[0], d_range[1] + 1))
+                if (s * d) % 2:
+                    d += 1
+                specs.append(generate_graph(
+                    n=s, d=d, graph_type="reg", seed=seed + 37 * s + j
+                ))
+            out[str(s)] = specs
+    else:
+        raise ValueError(f"unknown recipe {recipe!r}")
+    return out
+
+
+def _train(specs, max_nodes: int, **cfg_kwargs) -> Any:
+    ds = process_graphs(specs, DataConfig(max_nodes=max_nodes))
+    batch = pad_graph_batch([ds.graphs[k] for k in sorted(ds.graphs)])
+    cfg = TrainingConfig(n_nodes=max_nodes, **cfg_kwargs)
+    t0 = time.perf_counter()
+    params, best, epoch, _, hist = train_model(batch, cfg)
+    logger.info(
+        "trained %d graphs: best %.0f at epoch %d (%.1fs)",
+        len(specs), best, epoch, time.perf_counter() - t0,
+    )
+    return params
+
+
+def run_quality_suite(
+    recipe: str = "mixed",
+    sizes=SIZES,
+    graphs_per_size: int = 6,
+    post_iterations: int = 200,
+    randomized_iterations: int = 10_000,
+    refine: bool = True,
+    max_nodes: int = 1000,
+    train_kwargs: Optional[Dict[str, Any]] = None,
+    seed: int = 1000,
+) -> Dict[str, Any]:
+    """Train (per ``recipe``) and evaluate the per-size suites.
+
+    Returns per-size means for simple/post/refined decodes and the
+    randomized baseline, plus the pass/fail of the two quality gates:
+    GCN+post ≥ randomized at every size, and simple-decode mean ≥ the
+    reference's 547.1 (``BASELINE.md`` §3).
+    """
+    tk = {
+        "learning_rate": 1e-3,
+        "number_epochs": 1000,
+        "tolerance": 1e-4,
+        "patience": 20,
+        "epochs_per_call": 10,
+        **(train_kwargs or {}),
+    }
+    models: Dict[str, Any] = {}
+    for name, specs in _train_specs(recipe, sizes, seed=seed).items():
+        models[name] = _train(specs, max_nodes, **tk)
+
+    per_size: Dict[int, Dict[str, float]] = {}
+    for s in sizes:
+        specs = _suite_specs(s, graphs_per_size)
+        ds = process_graphs(specs, DataConfig(max_nodes=max_nodes))
+        params = models.get(str(s), models.get("all"))
+        simple, post, refined, rand, post_t, refine_t = [], [], [], [], [], []
+        for idx in sorted(ds.graphs):
+            g = ds.graphs[idx]
+            res = test_single_graph(
+                params, g, jax.random.PRNGKey(9000 + s + idx),
+                post_processing_iterations=post_iterations,
+                refine=refine,
+            )
+            if not res["success"]:
+                logger.info("graph %d/%d failed: %s", s, idx, res["error"])
+                continue
+            simple.append(res["simple_cut"])
+            post.append(res["post_cut"])
+            post_t.append(res["post_time"])
+            if refine:
+                refined.append(res["refined_cut"])
+                refine_t.append(res["refined_time"])
+            _, rc, _ = randomized_k_way_maxcut(
+                g, k=3, max_iterations=randomized_iterations,
+                patience=randomized_iterations, seed=7000 + idx,
+            )
+            rand.append(rc)
+        per_size[s] = {
+            "simple": float(np.mean(simple)),
+            "post": float(np.mean(post)),
+            "refined": float(np.mean(refined)) if refined else None,
+            "randomized": float(np.mean(rand)),
+            "post_time_s": float(np.mean(post_t)),
+            "refine_time_s": float(np.mean(refine_t)) if refine_t else None,
+            "graphs": len(simple),
+        }
+        logger.info(
+            "size %d: simple %.0f | post %.0f | refined %s | randomized %.0f",
+            s, per_size[s]["simple"], per_size[s]["post"],
+            f"{per_size[s]['refined']:.0f}" if refine else "-",
+            per_size[s]["randomized"],
+        )
+
+    simple_mean = float(np.mean([v["simple"] for v in per_size.values()]))
+    post_beats = all(
+        (v["refined"] if refine and v["refined"] is not None else v["post"])
+        >= v["randomized"]
+        for v in per_size.values()
+    )
+    result = {
+        "recipe": recipe,
+        "per_size": per_size,
+        "simple_mean": simple_mean,
+        "reference_simple_mean": 547.1,
+        "default_decode_beats_randomized_all_sizes": bool(post_beats),
+        "refine_default": refine,
+    }
+    logger.info(
+        "suite done: simple mean %.1f (ref 547.1), default decode beats "
+        "randomized at all sizes: %s", simple_mean, post_beats,
+    )
+    return result
+
+
+if __name__ == "__main__":
+    import sys
+
+    recipe = sys.argv[1] if len(sys.argv) > 1 else "mixed"
+    out = run_quality_suite(recipe=recipe)
+    print(json.dumps(out, indent=2))
