@@ -228,6 +228,269 @@ def halo_banded_spmm(
     )(w, x)
 
 
+# ---- packed interleaved-order halo kernel (full-bandwidth narrow F) ------
+#
+# The plain halo kernel above needs F % 128 == 0 lanes on real hardware and
+# zero-pads narrower widths (the k=3 class dim would move ~42x its real
+# bytes).  The single-chip fix is the interleaved node order of
+# ``ops.pallas_banded.banded_spmm_unit_packed``: store node u·m + j at
+# position j·r + u, so the packed [m, r·F] view turns every circulant node
+# shift into a row shift.  This is its multi-chip analog: the packed rows
+# are node-sharded contiguously across the ring, boundary rows travel by
+# RDMA exactly like the plain halo kernel, and the single global wrap
+# (device D-1 <-> device 0) is where the lane groups rotate by F — applied
+# on the SENDER's staged tile (cheap [W, r·F] XLA op), so the kernel body
+# never rotates lanes.
+
+
+def _packed_halo_kernel(
+    offsets, B, Wp, L, n_blocks, axis_name,
+    x_hbm, send_r_hbm, send_l_hbm, out_ref,
+    scratch, halo_pre, halo_post, local_sems, send_sems, recv_sems,
+):
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nxt_slot = jax.lax.rem(i + 1, 2)
+    my = jax.lax.axis_index(axis_name)
+    n_dev = jax.lax.axis_size(axis_name)
+    right = jax.lax.rem(my + 1, n_dev)
+    left = jax.lax.rem(my - 1 + n_dev, n_dev)
+
+    def send_to_right():
+        # my last Wp rows (pre-rotated if I'm the wrap edge) -> right
+        # neighbor's halo_pre; symmetric SPMD: the matching incoming copy
+        # fills MY halo_pre and signals my recv semaphore.
+        return pltpu.make_async_remote_copy(
+            src_ref=send_r_hbm,
+            dst_ref=halo_pre,
+            send_sem=send_sems.at[0],
+            recv_sem=recv_sems.at[0],
+            device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def send_to_left():
+        return pltpu.make_async_remote_copy(
+            src_ref=send_l_hbm,
+            dst_ref=halo_post,
+            send_sem=send_sems.at[1],
+            recv_sem=recv_sems.at[1],
+            device_id=left,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    # local window DMAs, fused single copy for interior blocks
+    def mid0_dma(s):
+        # block 0: rows [0, B + min(Wp, tail)) — the pre piece arrives by RDMA
+        length = B + (Wp if n_blocks > 1 else 0)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, length), :],
+            scratch.at[s, pl.ds(Wp, length), :],
+            local_sems.at[s, 0],
+        )
+
+    def interior_dma(bi, s):
+        base = pl.multiple_of(bi * B, 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(base - Wp, 8), B + 2 * Wp), :],
+            scratch.at[s],
+            local_sems.at[s, 1],
+        )
+
+    def last_dma(bi, s):
+        base = pl.multiple_of(bi * B, 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(base - Wp, 8), B + Wp), :],
+            scratch.at[s, pl.ds(0, B + Wp), :],
+            local_sems.at[s, 2],
+        )
+
+    def start(bi, s):
+        if n_blocks == 1:
+            mid0_dma(s).start()
+        else:
+            @pl.when(bi == 0)
+            def _():
+                mid0_dma(s).start()
+
+            @pl.when(jnp.logical_and(bi > 0, bi < n_blocks - 1))
+            def _():
+                interior_dma(bi, s).start()
+
+            @pl.when(bi == n_blocks - 1)
+            def _():
+                last_dma(bi, s).start()
+
+    def wait(bi, s):
+        if n_blocks == 1:
+            mid0_dma(s).wait()
+        else:
+            @pl.when(bi == 0)
+            def _():
+                mid0_dma(s).wait()
+
+            @pl.when(jnp.logical_and(bi > 0, bi < n_blocks - 1))
+            def _():
+                interior_dma(bi, s).wait()
+
+            @pl.when(bi == n_blocks - 1)
+            def _():
+                last_dma(bi, s).wait()
+
+    @pl.when(i == 0)
+    def _():
+        send_to_right().start()
+        send_to_left().start()
+        start(0, 0)
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        start(i + 1, nxt_slot)
+
+    wait(i, slot)
+
+    @pl.when(i == 0)
+    def _():
+        send_to_right().wait()
+        scratch[slot, 0:Wp, :] = halo_pre[:]
+
+    @pl.when(i + 1 == n_blocks)
+    def _():
+        send_to_left().wait()
+        scratch[slot, Wp + B : Wp + B + Wp, :] = halo_post[:]
+
+    x_win = scratch[slot]
+    acc = jnp.zeros((B, L), jnp.float32)
+    for o in offsets:
+        acc = acc + x_win[Wp + o : Wp + o + B, :]
+    out_ref[:] = acc
+
+
+def _packed_halo_xla(p, offsets, r, F, axis_name):
+    """XLA ppermute fallback/reference: same sharded packed semantics with
+    collectives instead of in-kernel RDMA.  ``p``: [m_loc, L]."""
+    m_loc, L = p.shape
+    W = int(max(abs(o) for o in offsets))
+    n_dev = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    fwd = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+    bwd = [(j, (j - 1) % n_dev) for j in range(n_dev)]
+    up_tile = p[m_loc - W :]
+    up_tile = jnp.where(my == n_dev - 1, jnp.roll(up_tile, F, axis=1), up_tile)
+    pre = jax.lax.ppermute(up_tile, axis_name, fwd)
+    down_tile = p[:W]
+    down_tile = jnp.where(my == 0, jnp.roll(down_tile, -F, axis=1), down_tile)
+    post = jax.lax.ppermute(down_tile, axis_name, bwd)
+    win = jnp.concatenate([pre, p, post], axis=0)
+    out = jnp.zeros_like(p)
+    for o in offsets:
+        out = out + jax.lax.dynamic_slice_in_dim(win, W + o, m_loc, axis=0)
+    return out
+
+
+def _halo_packed_raw(x, offsets, r, axis_name, block, collective_id):
+    n_loc, F = x.shape
+    if n_loc % r:
+        raise ValueError(f"n_loc={n_loc} must be a multiple of r={r}")
+    m_loc = n_loc // r
+    L = r * F
+    W = int(max(abs(o) for o in offsets))
+    Wp = (W + 7) // 8 * 8
+    if int(jax.lax.axis_size(axis_name)) == 1:
+        from gcn_maxcut_tpu.ops.pallas_banded import _banded_spmm_unit_packed_raw
+
+        return _banded_spmm_unit_packed_raw(x, offsets, r, block)
+    p = x.reshape(m_loc, L)
+    from gcn_maxcut_tpu.ops.pallas_banded import _pick_block
+
+    blk = block or _pick_block(m_loc, target=4096)
+    usable = (
+        L % 128 == 0
+        and blk is not None
+        and m_loc % blk == 0
+        and Wp <= blk
+        and 2 * Wp <= m_loc
+    )
+    if not usable:
+        return _packed_halo_xla(p, offsets, r, F, axis_name).reshape(n_loc, F)
+
+    my = jax.lax.axis_index(axis_name)
+    n_dev = jax.lax.axis_size(axis_name)
+    # staged send tiles; the wrap edge rotates lane groups by F on the
+    # sender so halo rows land compute-ready
+    send_r = p[m_loc - Wp :]
+    send_r = jnp.where(my == n_dev - 1, jnp.roll(send_r, F, axis=1), send_r)
+    send_l = p[:Wp]
+    send_l = jnp.where(my == 0, jnp.roll(send_l, -F, axis=1), send_l)
+
+    n_blocks = m_loc // blk
+    kernel = functools.partial(
+        _packed_halo_kernel, tuple(offsets), blk, Wp, L, n_blocks, axis_name
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (blk, L), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_loc, L), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, blk + 2 * Wp, L), jnp.float32),    # window
+            pltpu.VMEM((Wp, L), jnp.float32),                 # halo_pre
+            pltpu.VMEM((Wp, L), jnp.float32),                 # halo_post
+            pltpu.SemaphoreType.DMA((2, 3)),                  # local window
+            pltpu.SemaphoreType.DMA((2,)),                    # send sems
+            pltpu.SemaphoreType.DMA((2,)),                    # recv sems
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=96 * 1024 * 1024,
+            **({"collective_id": collective_id} if collective_id is not None else {}),
+        ),
+    )(p, send_r, send_l)
+    return out.reshape(n_loc, F)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def halo_banded_spmm_unit_packed(
+    x: jnp.ndarray,
+    offsets: tuple[int, ...],
+    r: int,
+    axis_name: str = "graph",
+    block: int | None = None,
+    collective_id: int | None = None,
+) -> jnp.ndarray:
+    """Node-sharded unit-weight circulant SpMM on interleaved-packed arrays
+    (call inside ``shard_map``): full stream bandwidth for ANY feature
+    width with r·F % 128 == 0.
+
+    ``x``: this shard's [n_loc, F] rows in interleaved position order; the
+    global packed [m, r·F] matrix is row-sharded contiguously, so shard c's
+    positions are [c·n_loc, (c+1)·n_loc).  Boundary rows travel by RDMA
+    overlapped with the interior sweep; the global wrap's lane-group
+    rotation is staged on the sender.  Backward = same kernel, negated
+    offsets (self-adjoint for the symmetric ±o shift sets).
+    """
+    return _halo_packed_raw(x, offsets, r, axis_name, block, collective_id)
+
+
+def _halo_packed_fwd(x, offsets, r, axis_name, block, collective_id):
+    return _halo_packed_raw(x, offsets, r, axis_name, block, collective_id), None
+
+
+def _halo_packed_bwd(offsets, r, axis_name, block, collective_id, _, dy):
+    neg = tuple(-o for o in offsets)
+    return (_halo_packed_raw(dy, neg, r, axis_name, block, collective_id),)
+
+
+halo_banded_spmm_unit_packed.defvjp(_halo_packed_fwd, _halo_packed_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def halo_banded_spmm_unit(
     x: jnp.ndarray,

@@ -149,6 +149,252 @@ def make_halo_giant_step(
     return build
 
 
+# ---- packed interleaved-order multi-chip trainer --------------------------
+#
+# The plain trainer above aggregates the class-dim STE output (k=3 lanes)
+# through ``halo_banded_spmm_unit``'s zero-pad branch (3 -> 128 lanes, ~42x
+# DMA traffic on real hardware).  This variant is the multi-chip analog of
+# ``bench.giant_demo.train_banded_giant_packed``: every array lives in the
+# interleaved node order of ``ops.pallas_banded.banded_spmm_unit_packed``
+# and CARRIES THE WIDE [m_loc, r·F] SHAPE through the whole epoch, so all
+# three aggregations (two convs + the cut loss's A·S) ride the
+# full-bandwidth packed HALO kernel (``ops.pallas_halo.
+# halo_banded_spmm_unit_packed``) — boundary rows travel by inter-chip RDMA
+# overlapped with the interior sweep, and the F%128 pad branch is never
+# taken.  GEMMs run as kron(I_r, W) (redundant FLOPs on an idle MXU);
+# group softmax/argmax/pinning are reduce_window + mask ops exactly as in
+# the single-chip demo.
+#
+# Gradient formulation: the loss the grads flow through is the PER-SHARD
+# slice -(E_loc - ½⟨s_loc, (A s)_loc⟩); summing it over shards is the
+# global objective, and the packed halo kernel's symmetric custom VJP
+# imports neighbor cotangents in the backward, so each shard's autodiff
+# gradient is exactly its slice of the global gradient — no psum inside
+# the differentiated region (under check_vma=False the transpose of psum
+# is psum again, which would scale cotangents by the device count).
+# Conv-weight gradients are therefore combined with psum (sum of true
+# per-shard contributions), and the scalar loss is psum'd only for
+# reporting.
+
+
+def _group_max(h, g=16):
+    return jax.lax.reduce_window(
+        h, -jnp.inf, jax.lax.max, (1, g), (1, g), "VALID"
+    )
+
+
+def _bcast(g16, g=16):
+    return jnp.repeat(g16, g, axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedHaloGiantConfig:
+    d: int = 8
+    num_classes: int = 3
+    dim_embedding: int = 32
+    learning_rate: float = 1e-3
+    epochs: int = 40
+    epochs_per_call: int = 10
+    bandwidth: int = 63
+    r: int = 8                      # interleave factor; r*16 % 128 == 0
+    block: int | None = None        # packed-row block (None = auto)
+    seed: int = 0
+    axis: str = "graph"
+
+
+def make_packed_halo_step(
+    mesh: Mesh, offsets: tuple[int, ...], config: PackedHaloGiantConfig,
+    optimizer: optax.GradientTransformation, m_shard: int,
+):
+    """Builds the jitted shard_map chunk step for the packed halo trainer.
+
+    ``m_shard``: packed rows per device (n_shard = m_shard * r nodes).
+    """
+    from gcn_maxcut_tpu.ops.pallas_halo import halo_banded_spmm_unit_packed
+
+    axis = config.axis
+    G = 16                          # lane-group width (classes padded to 16)
+    k = config.num_classes
+    r = config.r
+    if k > G or k > r:
+        raise ValueError(f"need num_classes <= {min(G, r)}")
+    if config.dim_embedding % G:
+        raise ValueError("dim_embedding must be a multiple of 16")
+    inv_d = 1.0 / config.d
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, r * G), 1)
+    class_ok = (lane % G < k).astype(jnp.float32)                # [1, r*16]
+    grp = lane // G
+    term_cols = (grp < k).astype(jnp.float32)
+    term_onehot = ((lane % G) == grp).astype(jnp.float32) * term_cols
+    eye_r = jnp.eye(r, dtype=jnp.float32)
+    sum_bcast = jnp.kron(eye_r, jnp.ones((G, G), jnp.float32))
+
+    def local_step(conv_params, embed, opt_state):
+        wide = embed[0]                                 # [m_shard, r*emb]
+        n_loc = m_shard * r
+        e_local = n_loc * config.d / 2.0
+
+        def spmm(h):
+            L = h.shape[1]
+            return halo_banded_spmm_unit_packed(
+                h.reshape(n_loc, L // r), offsets, r, axis, config.block
+            ).reshape(m_shard, L)
+
+        def loss_fn(conv_params, wide_rows):
+            k1w = jnp.kron(eye_r, conv_params["conv1"]["w"])
+            k2w = jnp.kron(eye_r, conv_params["conv2"]["w"])
+            b1 = jnp.tile(conv_params["conv1"]["b"], r)
+            b2 = jnp.tile(conv_params["conv2"]["b"], r)
+            h = wide_rows @ k1w
+            h = spmm(h) * inv_d + b1
+            h = jax.nn.relu(h)
+            h = h @ k2w
+            h = spmm(h) * inv_d + b2
+            # masked group softmax (windowed max is shift-invariant ->
+            # stop_gradient; no select-and-scatter lowering on TPU)
+            gmax = jax.lax.stop_gradient(
+                _bcast(_group_max(h + (class_ok - 1.0) * 1e9))
+            )
+            e = jnp.exp(h - gmax) * class_ok
+            probs = e / (e @ sum_bcast)
+            # terminals: global packed row 0 (shard 0), lane groups 0..k-1
+            my = jax.lax.axis_index(axis)
+            row0 = (
+                (jnp.arange(m_shard)[:, None] == 0) & (my == 0)
+            ).astype(jnp.float32)
+            is_term = row0 * term_cols
+            pinned_hard = is_term * term_onehot + (1.0 - is_term) * probs
+            pinned = jax.lax.stop_gradient(pinned_hard - probs) + probs
+            hard = jax.lax.stop_gradient(
+                (pinned >= _bcast(_group_max(pinned))).astype(jnp.float32)
+                * class_ok
+            )
+            onehot = jax.lax.stop_gradient(hard - pinned) + pinned
+            same = jnp.vdot(onehot, spmm(onehot))
+            return -(e_local - 0.5 * same)
+
+        loss_loc, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            conv_params, wide
+        )
+        conv_grads = jax.lax.psum(grads[0], axis)       # true global sum
+        updates, opt_state = optimizer.update(
+            (conv_grads, grads[1][None]), opt_state, (conv_params, embed)
+        )
+        conv_params, embed = optax.apply_updates((conv_params, embed), updates)
+        return conv_params, embed, opt_state, jax.lax.psum(loss_loc, axis)
+
+    def chunk(conv_params, embed, opt_state):
+        def body(carry, _):
+            conv_params, embed, opt_state = carry
+            conv_params, embed, opt_state, loss = local_step(
+                conv_params, embed, opt_state
+            )
+            return (conv_params, embed, opt_state), loss
+
+        (conv_params, embed, opt_state), losses = jax.lax.scan(
+            body, (conv_params, embed, opt_state), None,
+            length=config.epochs_per_call,
+        )
+        return conv_params, embed, opt_state, losses
+
+    def opt_state_specs(opt_state):
+        return jax.tree_util.tree_map(
+            lambda a: P(config.axis) if getattr(a, "ndim", 0) == 3 else P(),
+            opt_state,
+        )
+
+    def build(opt_state):
+        return jax.jit(
+            jax.shard_map(
+                chunk,
+                mesh=mesh,
+                in_specs=(P(), P(config.axis), opt_state_specs(opt_state)),
+                out_specs=(
+                    P(), P(config.axis), opt_state_specs(opt_state), P(),
+                ),
+                check_vma=False,
+            )
+        )
+
+    return build
+
+
+def train_halo_giant_packed(
+    n_shard: int,
+    config: PackedHaloGiantConfig = PackedHaloGiantConfig(),
+    mesh: Mesh | None = None,
+) -> Dict[str, Any]:
+    """Multi-chip giant banded training with EVERY aggregation on the
+    packed full-bandwidth halo kernel (no F%128 zero-padding anywhere).
+
+    ``n_shard`` nodes per device; requires ``n_shard % r == 0``.  Uses the
+    same parameter shapes, init keys and objective as the single-chip
+    ``bench.giant_demo.train_banded_giant_packed`` (hidden = 16 lanes,
+    classes padded 3 -> 16), so loss histories are directly comparable.
+    """
+    mesh = mesh or make_mesh((config.axis,))
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n_shard % config.r:
+        raise ValueError(f"n_shard={n_shard} must be a multiple of r={config.r}")
+    n = n_shard * n_dev
+    m_shard = n_shard // config.r
+    G = 16
+    rng = np.random.default_rng(config.seed)
+    half = rng.choice(
+        np.arange(1, config.bandwidth + 1), size=config.d // 2, replace=False
+    )
+    offsets = tuple(int(o) for s in half for o in (s, -s))
+
+    key = jax.random.PRNGKey(config.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    conv_params = {
+        "conv1": gcn_conv_init(k1, config.dim_embedding, G),
+        "conv2": gcn_conv_init(k2, G, G),
+    }
+    # same global init as the single-chip packed demo, then row-sharded
+    embed = jax.random.normal(
+        k3, (n // config.r, config.r * config.dim_embedding), jnp.float32
+    ) * 0.1
+    embed = embed.reshape(n_dev, m_shard, config.r * config.dim_embedding)
+    embed = jax.device_put(embed, NamedSharding(mesh, P(config.axis)))
+    optimizer = optax.adam(config.learning_rate)
+    opt_state = optimizer.init((conv_params, embed))
+
+    step = make_packed_halo_step(mesh, offsets, config, optimizer, m_shard)(
+        opt_state
+    )
+
+    t0 = time.perf_counter()
+    history = []
+    done = 0
+    while done < config.epochs:
+        conv_params, embed, opt_state, losses = step(
+            conv_params, embed, opt_state
+        )
+        history += [float(x) for x in np.asarray(losses)]
+        done += config.epochs_per_call
+    total = time.perf_counter() - t0
+
+    e_total = n * config.d // 2
+    res = {
+        "n": n,
+        "num_devices": n_dev,
+        "edges": e_total,
+        "epochs": done,
+        "initial_cut": -history[0],
+        "final_cut": -history[-1],
+        "cut_fraction": -history[-1] / e_total,
+        "total_time_s": total,
+        "layout": "packed",
+    }
+    logger.info(
+        "packed halo giant n=%d over %d devices: cut %.3g/%.3g (%.1f%%) in %.1fs",
+        n, n_dev, res["final_cut"], e_total, 100 * res["cut_fraction"], total,
+    )
+    return res
+
+
 def train_halo_giant(
     n_shard: int,
     config: HaloGiantConfig = HaloGiantConfig(),

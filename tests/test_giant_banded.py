@@ -33,3 +33,54 @@ def test_halo_giant_single_device_consistency():
     with pltpu.force_tpu_interpret_mode():
         res = train_halo_giant(n_shard=128, config=cfg, mesh=mesh)
     assert res["final_cut"] >= res["initial_cut"]
+
+
+# ---- packed interleaved-order multi-chip trainer ---------------------------
+
+from gcn_maxcut_tpu.parallel.giant_banded import (
+    PackedHaloGiantConfig,
+    train_halo_giant_packed,
+)
+
+
+def test_packed_halo_giant_improves_cut_on_4_devices():
+    mesh = make_mesh(("graph",), devices=jax.devices()[:4])
+    cfg = PackedHaloGiantConfig(
+        d=4, dim_embedding=32, epochs=10, epochs_per_call=5,
+        bandwidth=15, r=8, learning_rate=5e-3,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        res = train_halo_giant_packed(n_shard=256, config=cfg, mesh=mesh)
+    assert res["num_devices"] == 4
+    assert res["n"] == 1024
+    assert res["layout"] == "packed"
+    assert res["final_cut"] > res["initial_cut"]
+    assert np.isfinite(res["final_cut"])
+
+
+def test_packed_halo_giant_matches_single_chip_demo():
+    """The 4-device packed halo trainer and the single-chip packed demo
+    share init keys, objective and optimizer — loss histories must agree
+    (the per-shard gradient formulation is exact, so sharding is
+    numerics-only)."""
+    from gcn_maxcut_tpu.bench.giant_demo import train_banded_giant_packed
+
+    n, n_dev = 1024, 4
+    kw = dict(d=4, dim_embedding=32, learning_rate=5e-3,
+              epochs=10, epochs_per_call=5, bandwidth=15, seed=0)
+    mesh = make_mesh(("graph",), devices=jax.devices()[:n_dev])
+    cfg = PackedHaloGiantConfig(r=8, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        multi = train_halo_giant_packed(
+            n_shard=n // n_dev, config=cfg, mesh=mesh
+        )
+        single = train_banded_giant_packed(
+            n=n, hidden_dim=16, r=8, num_classes=3, **kw
+        )
+    assert multi["n"] == single["n"] == n
+    np.testing.assert_allclose(
+        multi["initial_cut"], single["initial_cut"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        multi["final_cut"], single["final_cut"], rtol=1e-3
+    )
