@@ -31,7 +31,7 @@ from gcn_maxcut_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def banded_gcn_conv(params, x, offsets, degree, block=1024):
+def banded_gcn_conv(params, x, offsets, degree, block=None):
     """GraphConv (norm='both') on an exactly-regular circulant graph.
 
     The aggregation order prefers the 128-lane-aligned side so the Pallas
@@ -62,11 +62,11 @@ def train_banded_giant(
     epochs: int = 50,
     epochs_per_call: int = 10,
     bandwidth: int = 63,
-    block: int = 1024,
+    block: int | None = None,   # None = auto-pick (8192 cap)
     seed: int = 0,
 ) -> Dict[str, float]:
     """Train the 2-layer banded GCN on one chip; returns cut + edges/s."""
-    if n % block:
+    if block is not None and n % block:
         raise ValueError(f"n must be a multiple of {block}")
     rng = np.random.default_rng(seed)
     half = rng.choice(np.arange(1, bandwidth + 1), size=d // 2, replace=False)

@@ -156,7 +156,7 @@ def bench_spmm_banded(
     (circulant benchmark graphs, or any graph reordered by BFS/RCM into a
     band) stream x through VMEM once — see ``ops/pallas_banded.py``.
     """
-    from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm
+    from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm, banded_spmm_unit
 
     if d % 2:
         raise ValueError("banded bench requires even d")
@@ -167,9 +167,12 @@ def bench_spmm_banded(
     w = jnp.ones((n, d), jnp.float32)
 
     scale = 1.0 / d
-    t_fwd = _scan_timeit(lambda x_: banded_spmm(x_, w, offsets) * scale, x)
-    grad_fn = jax.grad(lambda x_: jnp.sum(banded_spmm(x_, w, offsets) ** 2))
+    # unit-weight kernel: what the giant trainers actually run (headline)
+    t_fwd = _scan_timeit(lambda x_: banded_spmm_unit(x_, offsets) * scale, x)
+    grad_fn = jax.grad(lambda x_: jnp.sum(banded_spmm_unit(x_, offsets) ** 2))
     t_fwdbwd = _scan_timeit(lambda x_: grad_fn(x_) * (scale * scale * 0.5), x)
+    # weighted kernel (per-row [n, d] weight table)
+    t_fwd_w = _scan_timeit(lambda x_: banded_spmm(x_, w, offsets) * scale, x)
 
     e = n * d
     model = RooflineModel(chip_specs(chip), feature_dim, n, e)
@@ -182,6 +185,8 @@ def bench_spmm_banded(
         "fwd_edges_per_s": e / t_fwd,
         "fwdbwd_time_s": t_fwdbwd,
         "fwdbwd_edges_per_s": e / t_fwdbwd,
+        "weighted_fwd_time_s": t_fwd_w,
+        "weighted_fwd_edges_per_s": e / t_fwd_w,
         # banded roofline: read x + write y once => bytes = 2 n F 4 / E edges
         "banded_roofline_edges_per_s": model.chip.hbm_gbps
         * 1e9
@@ -190,10 +195,16 @@ def bench_spmm_banded(
     res["fraction_of_banded_roofline"] = (
         res["fwd_edges_per_s"] / res["banded_roofline_edges_per_s"]
     )
+    res["weighted_fraction_of_banded_roofline"] = (
+        res["weighted_fwd_edges_per_s"] / res["banded_roofline_edges_per_s"]
+    )
     logger.info(
-        "banded spmm n=%d d=%d W=%d: fwd %.2e edges/s (%.0f%% of stream SoL), fwd+bwd %.2e",
+        "banded spmm n=%d d=%d W=%d: unit fwd %.2e edges/s (%.0f%% of stream "
+        "SoL), unit fwd+bwd %.2e, weighted fwd %.2e (%.0f%%)",
         n, d, bandwidth, res["fwd_edges_per_s"],
         100 * res["fraction_of_banded_roofline"], res["fwdbwd_edges_per_s"],
+        res["weighted_fwd_edges_per_s"],
+        100 * res["weighted_fraction_of_banded_roofline"],
     )
     return res
 

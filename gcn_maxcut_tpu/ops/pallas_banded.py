@@ -15,6 +15,21 @@ i+1 while block i computes its D statically-sliced shifted adds (pure VPU).
 Traffic = read x once + write y once — the speed-of-light for any SpMM —
 vs. the ~6 reads/row of the gather path.
 
+Performance notes (measured on v5e, n=131k d=8 W=63 F=128):
+  * interior blocks issue ONE fused DMA for the whole [B + 2W, F] window
+    (three separate pre/mid/post copies cost ~10% in descriptor overhead);
+    the two wrap rows-at-the-ends blocks use precomputed wrap tiles passed
+    as extra inputs, so every DMA source is a single contiguous slice;
+  * all row slices are 8-sublane aligned (W rounded up to Wp);
+  * big blocks win: B=8192 reaches 82% of the 819 GB/s stream ceiling
+    (B=1024: 73%) — the default is picked per call from n and the VMEM
+    budget;
+  * bf16 is SLOWER in absolute time (the D shifted adds are VPU-bound at
+    these widths), so everything stays f32;
+  * the scoped-VMEM limit must stay at 64 MB: the identical kernel runs
+    82.7% of SoL at 64 MB and 32.9% at 100 MB (oversized scoped-vmem
+    allowances derail the Mosaic/XLA DMA schedule).
+
 The custom VJP uses the circulant transpose (negated offsets, weights
 rolled by their own offset), so backward is the same kernel; for the
 symmetric graphs this framework builds, the shift set is ±o pairs and the
@@ -52,62 +67,200 @@ def _interpreting() -> bool:
         return False
 
 
-def _banded_kernel(offsets, B, W, F, n_blocks, w_ref, x_hbm, out_ref, scratch, sems):
-    """Grid step i: compute y rows [iB, iB+B) from window [iB-W, iB+B+W).
+# Scoped-VMEM cap for the kernels.  MEASURED CLIFF: the identical kernel
+# runs at 82.7% of stream SoL with a 64 MB limit and 32.9% with 100 MB —
+# an oversized scoped-vmem allowance makes the Mosaic/XLA scheduler pick a
+# catastrophically worse DMA schedule.  Keep 64 MB; _auto_block sizes the
+# buffers to fit it.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
-    The window is fetched as three contiguous DMAs straight out of x (no
-    wrap-padded copy of x is ever materialized):
-      A: rows [iB-W, iB)   — wraps to [n-W, n) at i == 0
-      M: rows [iB, iB+B)
-      C: rows [iB+B, iB+B+W) — wraps to [0, W) at i == n_blocks-1
-    double-buffered across grid steps (DMA for i+1 overlaps compute of i).
+
+def _auto_block(rows: int, width: int, wp: int) -> int | None:
+    """Largest multiple-of-8 divisor of ``rows`` that keeps the double
+    buffer + output block inside the VMEM budget (capped at 8192 — the
+    measured sweet spot: 82% of stream SoL vs 73% at 1024) AND leaves at
+    least ~8 grid steps so the double-buffered DMA actually overlaps
+    compute (2 blocks = no pipeline)."""
+    # bytes ≈ 2·(B+2Wp)·width·4 (window slots) + B·width·4 (out block)
+    budget = 64 * 1024 * 1024
+    cap = max(8, (budget // (12 * max(width, 1) * 4) - wp) // 8 * 8)
+    steps = max(8, rows // 8 // 8 * 8)
+    return _pick_block(rows, target=min(8192, cap, steps))
+
+
+def _window_plan(x_hbm, lo_hbm, hi_hbm, scratch, sems, B, Wp, n_blocks):
+    """(start, wait) closures streaming [B + 2Wp, width] windows.
+
+    Interior blocks fetch the whole window in ONE fused DMA (three-piece
+    pre/mid/post copies measured ~10% slower in descriptor overhead); the
+    first and last blocks splice in the precomputed wrap tiles ``lo``/``hi``
+    so every DMA source is a single contiguous, 8-sublane-aligned slice.
+    ``wait`` re-creates copies with identical dst/semaphore/shape (the
+    source is irrelevant to a wait).
     """
-    i = pl.program_id(0)
-    n = n_blocks * B
-    slot = jax.lax.rem(i, 2)
-    nxt_slot = jax.lax.rem(i + 1, 2)
 
-    def dmas(block_idx, into_slot):
-        base = block_idx * B
-        pre = jax.lax.rem(base - W + n, n)
-        post = jax.lax.rem(base + B, n)
+    def pieces(bi, s, first, last):
+        if first and last:                      # n_blocks == 1
+            return (
+                pltpu.make_async_copy(
+                    lo_hbm.at[:], scratch.at[s, pl.ds(0, Wp), :],
+                    sems.at[s, 0],
+                ),
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, B), :],
+                    scratch.at[s, pl.ds(Wp, B), :],
+                    sems.at[s, 1],
+                ),
+                pltpu.make_async_copy(
+                    hi_hbm.at[:], scratch.at[s, pl.ds(Wp + B, Wp), :],
+                    sems.at[s, 2],
+                ),
+            )
+        if first:
+            return (
+                pltpu.make_async_copy(
+                    lo_hbm.at[:], scratch.at[s, pl.ds(0, Wp), :],
+                    sems.at[s, 1],
+                ),
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, B + Wp), :],
+                    scratch.at[s, pl.ds(Wp, B + Wp), :],
+                    sems.at[s, 2],
+                ),
+            )
+        base = pl.multiple_of(bi * B, 8)
+        if last:
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(pl.multiple_of(base - Wp, 8), B + Wp), :],
+                    scratch.at[s, pl.ds(0, B + Wp), :],
+                    sems.at[s, 1],
+                ),
+                pltpu.make_async_copy(
+                    hi_hbm.at[:], scratch.at[s, pl.ds(Wp + B, Wp), :],
+                    sems.at[s, 2],
+                ),
+            )
         return (
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(pre, W), :],
-                scratch.at[into_slot, pl.ds(0, W), :],
-                sems.at[into_slot, 0],
-            ),
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(base, B), :],
-                scratch.at[into_slot, pl.ds(W, B), :],
-                sems.at[into_slot, 1],
-            ),
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(post, W), :],
-                scratch.at[into_slot, pl.ds(W + B, W), :],
-                sems.at[into_slot, 2],
+                x_hbm.at[pl.ds(pl.multiple_of(base - Wp, 8), B + 2 * Wp), :],
+                scratch.at[s],
+                sems.at[s, 0],
             ),
         )
 
+    def act(bi, s, go):
+        if n_blocks == 1:
+            for c in pieces(bi, s, True, True):
+                go(c)
+            return
+
+        @pl.when(bi == 0)
+        def _():
+            for c in pieces(bi, s, True, False):
+                go(c)
+
+        @pl.when(jnp.logical_and(bi > 0, bi < n_blocks - 1))
+        def _():
+            for c in pieces(bi, s, False, False):
+                go(c)
+
+        @pl.when(bi == n_blocks - 1)
+        def _():
+            for c in pieces(bi, s, False, True):
+                go(c)
+
+    return (
+        lambda bi, s: act(bi, s, lambda c: c.start()),
+        lambda bi, s: act(bi, s, lambda c: c.wait()),
+    )
+
+
+def _fused_window_kernel(offsets, B, Wp, F, n_blocks, weighted, *refs):
+    """Double-buffered fused-window circulant SpMM body (unit or weighted).
+
+    Grid step i computes y rows [iB, iB+B) from the [iB-Wp, iB+B+Wp)
+    window; the DMA for block i+1 overlaps block i's compute.  The weighted
+    multiply broadcasts each w column across lanes via a rank-1 MXU outer
+    product (measured 47% vs 40% SoL for the vector-broadcast form).
+    """
+    if weighted:
+        w_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
+    else:
+        x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nxt_slot = jax.lax.rem(i + 1, 2)
+    start, wait = _window_plan(
+        x_hbm, lo_hbm, hi_hbm, scratch, sems, B, Wp, n_blocks
+    )
+
     @pl.when(i == 0)
     def _():
-        for d in dmas(0, 0):
-            d.start()
+        start(0, 0)
 
     @pl.when(i + 1 < n_blocks)
     def _():
-        for d in dmas(i + 1, nxt_slot):
-            d.start()
+        start(i + 1, nxt_slot)
 
-    for d in dmas(i, slot):
-        d.wait()
+    wait(i, slot)
 
-    x_win = scratch[slot]                      # [B + 2W, F]
+    x_win = scratch[slot]                      # [B + 2Wp, F]
     acc = jnp.zeros((B, F), jnp.float32)
-    for k, o in enumerate(offsets):            # static unrolled shifts
-        src = x_win[W + o : W + o + B, :]
-        acc = acc + w_ref[:, k : k + 1] * src
+    if weighted:
+        # exact VPU broadcast.  An MXU rank-1 outer product (w_col @ ones)
+        # measured faster (47% vs 41% SoL) but truncates w to bf16 at
+        # default matmul precision (0.4% rel error) and OOMs scoped VMEM at
+        # HIGHEST precision — exactness wins for a framework primitive.
+        for k, o in enumerate(offsets):        # static unrolled shifts
+            acc = acc + w_ref[:, k : k + 1] * x_win[Wp + o : Wp + o + B, :]
+    else:
+        for o in offsets:
+            acc = acc + x_win[Wp + o : Wp + o + B, :]
     out_ref[:] = acc
+
+
+def _fused_pallas_call(x, w, offsets, block):
+    """Shared pallas_call builder for the row-window kernels; ``w`` is None
+    for the unit variant.  Returns None if the shape can't ride the kernel
+    (caller falls back to XLA rolls)."""
+    n, F = x.shape
+    W = int(max(abs(o) for o in offsets))
+    Wp = (W + 7) // 8 * 8
+    blk = block if block is not None else _auto_block(n, F, Wp)
+    if blk is None or n % blk or Wp > blk or Wp > n:
+        return None
+    n_blocks = n // blk
+    lo = x[n - Wp :]
+    hi = x[:Wp]
+    weighted = w is not None
+    kernel = functools.partial(
+        _fused_window_kernel, tuple(offsets), blk, Wp, F, n_blocks, weighted
+    )
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    args = (x, lo, hi)
+    if weighted:
+        D = w.shape[1]
+        in_specs = [
+            pl.BlockSpec((blk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] + in_specs
+        args = (w, x, lo, hi)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (blk, F), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, blk + 2 * Wp, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "block"))
@@ -115,44 +268,23 @@ def _banded_spmm_raw(
     x: jnp.ndarray,
     w: jnp.ndarray,
     offsets: tuple[int, ...],
-    block: int = DEFAULT_BLOCK,
+    block: int | None = None,
 ) -> jnp.ndarray:
     n, F = x.shape
-    D = len(offsets)
     W = int(max(abs(o) for o in offsets))
     if F % 128 and not _interpreting():
         # TPU DMA slices need 128-aligned lanes; narrow arrays (e.g. the
         # k=3 class dim) take the XLA rolls path — same math, no shape
         # constraints.
         return banded_spmm_xla(x, w, offsets)
-    if n % block:
+    if block is not None and n % block:
         raise ValueError(f"n={n} must be a multiple of block={block}")
     if W > n:
         raise ValueError(f"bandwidth {W} exceeds n={n}")
-    if W > block:
+    if block is not None and W > block:
         raise ValueError(f"bandwidth {W} must be <= block={block}")
-    n_blocks = n // block
-
-    kernel = functools.partial(
-        _banded_kernel, tuple(offsets), block, W, F, n_blocks
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # x, manual 3-piece DMA
-        ],
-        out_specs=pl.BlockSpec(
-            (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, block + 2 * W, F), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(w, x)
+    out = _fused_pallas_call(x, w, offsets, block)
+    return out if out is not None else banded_spmm_xla(x, w, offsets)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -160,13 +292,14 @@ def banded_spmm(
     x: jnp.ndarray,
     w: jnp.ndarray,
     offsets: tuple[int, ...],
-    block: int = DEFAULT_BLOCK,
+    block: int | None = None,
 ) -> jnp.ndarray:
     """y[i] = Σ_k w[i, k] · x[(i + o_k) mod n]   (Pallas streaming kernel).
 
-    ``x``: [n, F] features (n a multiple of ``block``); ``w``: [n, D]
-    per-row shift weights (use zeros to mask padded rows); ``offsets``:
-    static shift tuple.  Differentiable in x and w.
+    ``x``: [n, F] features; ``w``: [n, D] per-row shift weights (use zeros
+    to mask padded rows); ``offsets``: static shift tuple.  ``block`` is
+    auto-picked from n and the VMEM budget when None.  Differentiable in
+    x and w.
     """
     return _banded_spmm_raw(x, w, offsets, block)
 
@@ -210,57 +343,9 @@ def banded_spmm_xla(
 
 # ---- unit-weight variant (all edge weights 1; no [n, D] weight table) ----
 
-def _banded_unit_kernel(offsets, B, W, F, n_blocks, x_hbm, out_ref, scratch, sems):
-    i = pl.program_id(0)
-    n = n_blocks * B
-    slot = jax.lax.rem(i, 2)
-    nxt_slot = jax.lax.rem(i + 1, 2)
-
-    def dmas(block_idx, into_slot):
-        base = block_idx * B
-        pre = jax.lax.rem(base - W + n, n)
-        post = jax.lax.rem(base + B, n)
-        return (
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(pre, W), :],
-                scratch.at[into_slot, pl.ds(0, W), :],
-                sems.at[into_slot, 0],
-            ),
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(base, B), :],
-                scratch.at[into_slot, pl.ds(W, B), :],
-                sems.at[into_slot, 1],
-            ),
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(post, W), :],
-                scratch.at[into_slot, pl.ds(W + B, W), :],
-                sems.at[into_slot, 2],
-            ),
-        )
-
-    @pl.when(i == 0)
-    def _():
-        for d in dmas(0, 0):
-            d.start()
-
-    @pl.when(i + 1 < n_blocks)
-    def _():
-        for d in dmas(i + 1, nxt_slot):
-            d.start()
-
-    for d in dmas(i, slot):
-        d.wait()
-
-    x_win = scratch[slot]
-    acc = jnp.zeros((B, F), jnp.float32)
-    for o in offsets:
-        acc = acc + x_win[W + o : W + o + B, :]
-    out_ref[:] = acc
-
-
 @functools.partial(jax.jit, static_argnames=("offsets", "block"))
 def _banded_spmm_unit_raw(
-    x: jnp.ndarray, offsets: tuple[int, ...], block: int = DEFAULT_BLOCK
+    x: jnp.ndarray, offsets: tuple[int, ...], block: int | None = None
 ) -> jnp.ndarray:
     n, F = x.shape
     W = int(max(abs(o) for o in offsets))
@@ -269,39 +354,24 @@ def _banded_spmm_unit_raw(
         # bandwidth narrow-F path is the interleaved-order kernel below
         # (``banded_spmm_unit_packed``) used by the giant-graph trainers.
         return banded_spmm_unit_xla(x, offsets)
-    if n % block:
+    if block is not None and n % block:
         raise ValueError(f"n={n} must be a multiple of block={block}")
-    if W > block:
+    if block is not None and W > block:
         raise ValueError(f"bandwidth {W} must be <= block={block}")
-    n_blocks = n // block
-    kernel = functools.partial(
-        _banded_unit_kernel, tuple(offsets), block, W, F, n_blocks
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, block + 2 * W, F), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(x)
+    out = _fused_pallas_call(x, None, offsets, block)
+    return out if out is not None else banded_spmm_unit_xla(x, offsets)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def banded_spmm_unit(
-    x: jnp.ndarray, offsets: tuple[int, ...], block: int = DEFAULT_BLOCK
+    x: jnp.ndarray, offsets: tuple[int, ...], block: int | None = None
 ) -> jnp.ndarray:
     """y[i] = Σ_k x[(i + o_k) mod n]  — unit edge weights, no weight table.
 
     The memory-lean path for exactly-regular circulant graphs (10M-node
     configs: a [n, D] weight table would cost n·D·4 bytes for constant 1s).
-    Backward is the same kernel with negated offsets.
+    ``block`` is auto-picked when None.  Backward is the same kernel with
+    negated offsets.
     """
     return _banded_spmm_unit_raw(x, offsets, block)
 
@@ -373,90 +443,6 @@ def unpack_interleaved(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x.reshape(m, r, F).transpose(1, 0, 2).reshape(n, F)
 
 
-def _packed_unit_kernel(
-    offsets, B, W, L, n_blocks,
-    x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems,
-):
-    """Window kernel over the packed [m, L] view; wrap rows come from the
-    precomputed lane-rotated tiles instead of the array's other end."""
-    i = pl.program_id(0)
-    slot = jax.lax.rem(i, 2)
-    nxt_slot = jax.lax.rem(i + 1, 2)
-
-    def start_dmas(block_idx, into_slot):
-        base = pl.multiple_of(block_idx * B, 8)
-
-        @pl.when(block_idx == 0)
-        def _():
-            pltpu.make_async_copy(
-                lo_hbm.at[pl.ds(0, W), :],
-                scratch.at[into_slot, pl.ds(0, W), :],
-                sems.at[into_slot, 0],
-            ).start()
-
-        @pl.when(block_idx > 0)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(pl.multiple_of(base - W, 8), W), :],
-                scratch.at[into_slot, pl.ds(0, W), :],
-                sems.at[into_slot, 0],
-            ).start()
-
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(base, B), :],
-            scratch.at[into_slot, pl.ds(W, B), :],
-            sems.at[into_slot, 1],
-        ).start()
-
-        @pl.when(block_idx == n_blocks - 1)
-        def _():
-            pltpu.make_async_copy(
-                hi_hbm.at[pl.ds(0, W), :],
-                scratch.at[into_slot, pl.ds(W + B, W), :],
-                sems.at[into_slot, 2],
-            ).start()
-
-        @pl.when(block_idx < n_blocks - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(pl.multiple_of(base + B, 8), W), :],
-                scratch.at[into_slot, pl.ds(W + B, W), :],
-                sems.at[into_slot, 2],
-            ).start()
-
-    @pl.when(i == 0)
-    def _():
-        start_dmas(0, 0)
-
-    @pl.when(i + 1 < n_blocks)
-    def _():
-        start_dmas(i + 1, nxt_slot)
-
-    # waits: same dst/semaphore/size regardless of which source was chosen
-    base = pl.multiple_of(i * B, 8)
-    pltpu.make_async_copy(
-        x_hbm.at[pl.ds(0, W), :],
-        scratch.at[slot, pl.ds(0, W), :],
-        sems.at[slot, 0],
-    ).wait()
-    pltpu.make_async_copy(
-        x_hbm.at[pl.ds(base, B), :],
-        scratch.at[slot, pl.ds(W, B), :],
-        sems.at[slot, 1],
-    ).wait()
-    pltpu.make_async_copy(
-        x_hbm.at[pl.ds(0, W), :],
-        scratch.at[slot, pl.ds(W + B, W), :],
-        sems.at[slot, 2],
-    ).wait()
-
-    x_win = scratch[slot]                      # [B + 2W, L]
-    acc = jnp.zeros((B, L), jnp.float32)
-    for o in offsets:                          # static row shifts only
-        acc = acc + x_win[W + o : W + o + B, :]
-    out_ref[:] = acc
-
-
 @functools.partial(jax.jit, static_argnames=("offsets", "r", "block"))
 def _banded_spmm_unit_packed_raw(
     x: jnp.ndarray,
@@ -468,9 +454,9 @@ def _banded_spmm_unit_packed_raw(
     L = r * F
     W = int(max(abs(o) for o in offsets))
     m = n // r if n % r == 0 else 0
-    block = block or (_pick_block(m) if m else None)
     # DMA row slices must be 8-aligned (Mosaic tiling); round W up once
     Wp = (W + 7) // 8 * 8
+    block = block or (_auto_block(m, L, Wp) if m else None)
     usable = (
         m > 0 and L % 128 == 0 and block is not None
         and m % block == 0 and Wp <= block and 2 * Wp <= m
@@ -481,11 +467,13 @@ def _banded_spmm_unit_packed_raw(
             banded_spmm_unit_xla(unpack_interleaved(x, r), offsets), r
         )
     p = x.reshape(m, L)
+    # wrap tiles carry the global wrap's lane-group rotation, so the kernel
+    # body (shared with the row-window variant) is pure row shifts
     wrap_lo = jnp.roll(p[m - Wp :], F, axis=1)
     wrap_hi = jnp.roll(p[:Wp], -F, axis=1)
     n_blocks = m // block
     kernel = functools.partial(
-        _packed_unit_kernel, tuple(offsets), block, Wp, L, n_blocks
+        _fused_window_kernel, tuple(offsets), block, Wp, L, n_blocks, False
     )
     out = pl.pallas_call(
         kernel,
@@ -503,7 +491,9 @@ def _banded_spmm_unit_packed_raw(
             pltpu.VMEM((2, block + 2 * Wp, L), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
     )(p, wrap_lo, wrap_hi)
     return out.reshape(n, F)
 

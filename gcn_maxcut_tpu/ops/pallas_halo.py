@@ -45,12 +45,15 @@ from gcn_maxcut_tpu.ops.pallas_banded import DEFAULT_BLOCK, _interpreting
 
 
 def _halo_kernel(
-    offsets, B, W, F, n_blocks, axis_name,
-    w_ref, x_hbm, out_ref,
+    offsets, B, Wp, F, n_blocks, axis_name,
+    w_ref, x_hbm, send_r_hbm, send_l_hbm, out_ref,
     scratch, halo_pre, halo_post, local_sems, send_sems, recv_sems,
 ):
+    """Weighted halo SpMM body: fused-DMA interior sweep + RDMA boundary
+    rows.  All row slices are 8-sublane aligned (W rounded up to Wp; send
+    tiles staged outside the kernel), matching the Mosaic DMA alignment
+    rules the single-chip kernels follow."""
     i = pl.program_id(0)
-    n_local = n_blocks * B
     slot = jax.lax.rem(i, 2)
     nxt_slot = jax.lax.rem(i + 1, 2)
     my = jax.lax.axis_index(axis_name)
@@ -59,10 +62,10 @@ def _halo_kernel(
     left = jax.lax.rem(my - 1 + n_dev, n_dev)
 
     # incoming copy into MY halo_pre comes from my left neighbor's send of
-    # its last W rows; symmetric SPMD lets each device describe the pair.
+    # its last Wp rows; symmetric SPMD lets each device describe the pair.
     def send_to_right():
         return pltpu.make_async_remote_copy(
-            src_ref=x_hbm.at[pl.ds(n_local - W, W), :],
+            src_ref=send_r_hbm,
             dst_ref=halo_pre,
             send_sem=send_sems.at[0],
             recv_sem=recv_sems.at[0],
@@ -72,7 +75,7 @@ def _halo_kernel(
 
     def send_to_left():
         return pltpu.make_async_remote_copy(
-            src_ref=x_hbm.at[pl.ds(0, W), :],
+            src_ref=send_l_hbm,
             dst_ref=halo_post,
             send_sem=send_sems.at[1],
             recv_sem=recv_sems.at[1],
@@ -80,82 +83,78 @@ def _halo_kernel(
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
 
-    # local window pieces (everything except the two remote halo rows)
-    def dmas(block_idx, into_slot):
-        base = block_idx * B
-        copies = [
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(base, B), :],
-                scratch.at[into_slot, pl.ds(W, B), :],
-                local_sems.at[into_slot, 0],
-            )
-        ]
-        return copies
-
-    def pre_dma(block_idx, into_slot):
-        # rows [base - W, base) — local for every block except block 0
-        base = block_idx * B
+    # local window DMAs: ONE fused copy for interior blocks; the halo rows
+    # of the first/last block arrive by RDMA instead
+    def mid0_dma(s):
+        length = B + (Wp if n_blocks > 1 else 0)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(jnp.maximum(base - W, 0), W), :],
-            scratch.at[into_slot, pl.ds(0, W), :],
-            local_sems.at[into_slot, 1],
+            x_hbm.at[pl.ds(0, length), :],
+            scratch.at[s, pl.ds(Wp, length), :],
+            local_sems.at[s, 0],
         )
 
-    def post_dma(block_idx, into_slot):
-        # rows [base + B, base + B + W) — local except for the last block
-        base = block_idx * B
-        start = jnp.minimum(base + B, n_local - W)
+    def interior_dma(bi, s):
+        base = pl.multiple_of(bi * B, 8)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, W), :],
-            scratch.at[into_slot, pl.ds(W + B, W), :],
-            local_sems.at[into_slot, 2],
+            x_hbm.at[pl.ds(pl.multiple_of(base - Wp, 8), B + 2 * Wp), :],
+            scratch.at[s],
+            local_sems.at[s, 1],
         )
 
-    def start_all(block_idx, into_slot):
-        for c in dmas(block_idx, into_slot):
-            c.start()
-        @pl.when(block_idx > 0)
+    def last_dma(bi, s):
+        base = pl.multiple_of(bi * B, 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(base - Wp, 8), B + Wp), :],
+            scratch.at[s, pl.ds(0, B + Wp), :],
+            local_sems.at[s, 2],
+        )
+
+    def act(bi, s, go):
+        if n_blocks == 1:
+            go(mid0_dma(s))
+            return
+
+        @pl.when(bi == 0)
         def _():
-            pre_dma(block_idx, into_slot).start()
-        @pl.when(block_idx + 1 < n_blocks)
+            go(mid0_dma(s))
+
+        @pl.when(jnp.logical_and(bi > 0, bi < n_blocks - 1))
         def _():
-            post_dma(block_idx, into_slot).start()
+            go(interior_dma(bi, s))
+
+        @pl.when(bi == n_blocks - 1)
+        def _():
+            go(last_dma(bi, s))
 
     @pl.when(i == 0)
     def _():
         # fire the halo exchange first so it overlaps the interior sweep
         send_to_right().start()
         send_to_left().start()
-        start_all(0, 0)
+        act(0, 0, lambda c: c.start())
 
     @pl.when(i + 1 < n_blocks)
     def _():
-        start_all(i + 1, nxt_slot)
+        act(i + 1, nxt_slot, lambda c: c.start())
 
-    for c in dmas(i, slot):
-        c.wait()
-    @pl.when(i > 0)
-    def _():
-        pre_dma(i, slot).wait()
-    @pl.when(i + 1 < n_blocks)
-    def _():
-        post_dma(i, slot).wait()
+    act(i, slot, lambda c: c.wait())
 
     # halo waits only where needed: block 0 needs the pre halo, the last
     # block needs the post halo (send completion is implied by .wait()).
     @pl.when(i == 0)
     def _():
         send_to_right().wait()
-        scratch[slot, 0:W, :] = halo_pre[:]
+        scratch[slot, 0:Wp, :] = halo_pre[:]
+
     @pl.when(i + 1 == n_blocks)
     def _():
         send_to_left().wait()
-        scratch[slot, W + B : W + B + W, :] = halo_post[:]
+        scratch[slot, Wp + B : Wp + B + Wp, :] = halo_post[:]
 
     x_win = scratch[slot]
     acc = jnp.zeros((B, F), jnp.float32)
     for k, o in enumerate(offsets):
-        acc = acc + w_ref[:, k : k + 1] * x_win[W + o : W + o + B, :]
+        acc = acc + w_ref[:, k : k + 1] * x_win[Wp + o : Wp + o + B, :]
     out_ref[:] = acc
 
 
@@ -175,10 +174,13 @@ def halo_banded_spmm(
     n_local, F = x.shape
     D = len(offsets)
     W = int(max(abs(o) for o in offsets))
+    Wp = (W + 7) // 8 * 8        # 8-sublane-aligned halo width
     if n_local % block:
         raise ValueError(f"n_shard={n_local} must be a multiple of {block}")
-    if W > block:
-        raise ValueError(f"bandwidth {W} must be <= block={block}")
+    if block % 8:
+        raise ValueError(f"block={block} must be a multiple of 8")
+    if Wp > block:
+        raise ValueError(f"bandwidth {W} (padded {Wp}) must be <= block={block}")
     # Single-device mesh: loopback RDMA faults the real TPU runtime (the
     # interpret simulator accepts it); the wrap semantics are exactly the
     # circulant kernel, so use it directly.
@@ -189,9 +191,9 @@ def halo_banded_spmm(
     if F % 128 and not _interpreting():
         # Mosaic DMA slices need 128-aligned lanes on real hardware (the
         # k=3 class dim would fail to compile on a real slice).  Zero-pad
-        # the feature dim — exact, if bandwidth-wasteful; an interleaved
-        # packed variant (see ops/pallas_banded.banded_spmm_unit_packed)
-        # is the full-bandwidth follow-up.
+        # the feature dim — exact, if bandwidth-wasteful; the full-bandwidth
+        # narrow-F path is ``halo_banded_spmm_unit_packed`` below (used by
+        # ``parallel.giant_banded.train_halo_giant_packed``).
         pad = 128 - F % 128
         xp = jnp.pad(x, ((0, 0), (0, pad)))
         return halo_banded_spmm(
@@ -199,8 +201,11 @@ def halo_banded_spmm(
         )[:, :F]
     n_blocks = n_local // block
 
+    # staged boundary tiles: single contiguous aligned sources for the RDMA
+    send_r = x[n_local - Wp :]
+    send_l = x[:Wp]
     kernel = functools.partial(
-        _halo_kernel, tuple(offsets), block, W, F, n_blocks, axis_name
+        _halo_kernel, tuple(offsets), block, Wp, F, n_blocks, axis_name
     )
     return pl.pallas_call(
         kernel,
@@ -208,24 +213,27 @@ def halo_banded_spmm(
         in_specs=[
             pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_local, F), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, block + 2 * W, F), jnp.float32),   # window
-            pltpu.VMEM((W, F), jnp.float32),                  # halo_pre
-            pltpu.VMEM((W, F), jnp.float32),                  # halo_post
+            pltpu.VMEM((2, block + 2 * Wp, F), jnp.float32),  # window
+            pltpu.VMEM((Wp, F), jnp.float32),                 # halo_pre
+            pltpu.VMEM((Wp, F), jnp.float32),                 # halo_post
             pltpu.SemaphoreType.DMA((2, 3)),                  # local window
             pltpu.SemaphoreType.DMA((2,)),                    # send sems
             pltpu.SemaphoreType.DMA((2,)),                    # recv sems
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
+            vmem_limit_bytes=64 * 1024 * 1024,
             **({"collective_id": collective_id} if collective_id is not None else {}),
         ),
-    )(w, x)
+    )(w, x, send_r, send_l)
 
 
 # ---- packed interleaved-order halo kernel (full-bandwidth narrow F) ------
@@ -401,9 +409,9 @@ def _halo_packed_raw(x, offsets, r, axis_name, block, collective_id):
 
         return _banded_spmm_unit_packed_raw(x, offsets, r, block)
     p = x.reshape(m_loc, L)
-    from gcn_maxcut_tpu.ops.pallas_banded import _pick_block
+    from gcn_maxcut_tpu.ops.pallas_banded import _auto_block
 
-    blk = block or _pick_block(m_loc, target=4096)
+    blk = block or _auto_block(m_loc, L, Wp)
     usable = (
         L % 128 == 0
         and blk is not None
@@ -449,7 +457,9 @@ def _halo_packed_raw(x, offsets, r, axis_name, block, collective_id):
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=96 * 1024 * 1024,
+            # 64 MB, NOT more: an oversized scoped-vmem limit makes the
+            # scheduler ~2.5x slower (measured on the single-chip kernel)
+            vmem_limit_bytes=64 * 1024 * 1024,
             **({"collective_id": collective_id} if collective_id is not None else {}),
         ),
     )(p, send_r, send_l)
