@@ -175,3 +175,31 @@ def test_packed_giant_trainer_improves_cut():
         )
     assert r["final_cut"] > r["initial_cut"]
     assert r["cut_fraction"] > 0.75
+
+
+def test_auto_block_invariants():
+    """Auto-picked blocks divide n, are 8-aligned, fit the VMEM budget,
+    and leave >=8 grid steps for pipeline overlap (measured requirement:
+    2 blocks = no DMA/compute overlap)."""
+    from gcn_maxcut_tpu.ops.pallas_banded import _auto_block
+
+    for rows, width, wp in [
+        (131_072, 128, 64), (10_002_432 // 8, 1024, 64),
+        (16_384, 128, 64), (4096, 128, 16), (1024, 256, 8),
+    ]:
+        b = _auto_block(rows, width, wp)
+        assert b is not None
+        assert rows % b == 0 and b % 8 == 0
+        assert b <= 8192
+        if rows >= 64:
+            assert rows // b >= 8, (rows, b)
+        # double buffer + out block inside the 64 MB budget
+        assert 12 * b * width * 4 <= 64 * 1024 * 1024 + 12 * wp * width * 4
+
+
+def test_banded_spmm_explicit_block_still_validated():
+    import pytest as _pt
+    from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm_unit
+
+    with _pt.raises(ValueError, match="multiple"):
+        banded_spmm_unit(jnp.ones((100, 128)), (1, -1), 64)
