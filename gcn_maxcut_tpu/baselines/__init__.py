@@ -9,6 +9,7 @@ from gcn_maxcut_tpu.baselines.local_search import (
     greedy_flip_local_search,
     simulated_annealing,
     breakout_local_search,
+    multi_max_cut_recursive,
 )
 from gcn_maxcut_tpu.baselines.exact import (
     brute_force_maxcut,
@@ -26,6 +27,7 @@ __all__ = [
     "greedy_flip_local_search",
     "simulated_annealing",
     "breakout_local_search",
+    "multi_max_cut_recursive",
     "brute_force_maxcut",
     "recursive_flow_min_cut",
     "anytime_solver",

@@ -1,10 +1,12 @@
-"""Heuristic baselines on device: greedy flips, simulated annealing, BLS.
+"""Heuristic baselines on device: greedy flips, simulated annealing, BLS,
+and the recursive 2-way-split k-way heuristic.
 
 Capability parity with the reference's heuristics notebook
 (``Other Algorithms/huerestics_multi-max.ipynb``):
 ``breakout_local_search`` (cell 8: flip local search + perturbation),
 ``simulated_annealing_multiway`` (cell 10: linear cooling, Metropolis
-accept), plus the implicit flip local search both are built on.
+accept), ``multi_max_cut_recursive`` (cell 6: recursive 2-way splits),
+plus the implicit flip local search they are built on.
 
 All three share one primitive: the per-node class-weight matrix
 ``W[i, c] = Σ_{j∈N(i), a_j = c} w_ij`` (one SpMM over the one-hot
@@ -21,6 +23,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gcn_maxcut_tpu.core.graph import Graph
 from gcn_maxcut_tpu.objectives.cut_loss import hard_cut_value
@@ -195,3 +198,79 @@ def breakout_local_search(
         best_asn = jnp.where(best_take, asn, best_asn)
         best_cut = jnp.where(best_take, cut, best_cut)
     return best_asn, best_cut
+
+
+@partial(jax.jit, static_argnames=("restarts",))
+def _two_way_split(
+    g: Graph,
+    active: jnp.ndarray,
+    t0: int,
+    t1: int,
+    key: jax.Array,
+    restarts: int = 10,
+) -> jnp.ndarray:
+    """Best-of-``restarts`` random 2-way split of the ``active`` node subset.
+
+    Cut counted over intra-subset edges only (the induced subgraph, like the
+    reference's ``graph.subgraph(...)`` copies).  Terminals ``t0``/``t1``
+    pinned to sides 0/1.  Returns the 0/1 side array ``[n_pad]``.
+    """
+    n_pad = g.n_pad
+    ids = jnp.arange(n_pad)
+
+    def one(key):
+        a = jax.random.randint(key, (n_pad,), 0, 2)
+        a = jnp.where(ids == t0, 0, jnp.where(ids == t1, 1, a))
+        s, r = g.senders, g.receivers
+        intra = active[s] * active[r] * g.edge_mask * g.weights
+        cut = 0.5 * jnp.sum(intra * (a[s] != a[r]))
+        return a, cut
+
+    asn, cuts = jax.vmap(one)(jax.random.split(key, restarts))
+    return asn[jnp.argmax(cuts)]
+
+
+def multi_max_cut_recursive(
+    g: Graph,
+    terminals,
+    key: jax.Array,
+    restarts: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k-way max cut by recursive 2-way splits (reference
+    ``huerestics_multi-max.ipynb`` cell 6, ``multi_max_cut_recursive``).
+
+    Each split is the best of ``restarts`` random bisections of the current
+    node subset with two terminals pinned apart (the reference's
+    ``two_way_max_cut``), then the subsets are split again until every
+    terminal sits in its own class.  One deliberate deviation: the reference
+    recurses only into the side containing the *next* terminal, silently
+    leaving extra terminals co-partitioned when a split separates them from
+    it; here both sides recurse on the terminals they contain, so the
+    result always has all k terminals in k distinct classes.
+
+    Returns ``(assignment [n_pad] int32, cut_value)`` where terminal
+    ``terminals[c]`` gets class ``c``.
+    """
+    class_of = {int(t): c for c, t in enumerate(terminals)}
+    asn = np.zeros((g.n_pad,), np.int32)
+
+    def rec(active: np.ndarray, terms, key):
+        if len(terms) == 1:
+            asn[active] = class_of[int(terms[0])]
+            return
+        key, k0, k1, sub = jax.random.split(key, 4)
+        side = np.asarray(
+            _two_way_split(
+                g, jnp.asarray(active, jnp.float32), int(terms[0]),
+                int(terms[1]), sub, restarts,
+            )
+        )
+        side0 = active & (side == 0)
+        side1 = active & (side == 1)
+        rec(side0, [terms[0]] + [t for t in terms[2:] if side0[int(t)]], k0)
+        rec(side1, [terms[1]] + [t for t in terms[2:] if side1[int(t)]], k1)
+
+    active0 = np.asarray(g.node_mask) > 0
+    rec(active0, list(terminals), key)
+    asn_j = jnp.asarray(asn)
+    return asn_j, hard_cut_value(g, asn_j)

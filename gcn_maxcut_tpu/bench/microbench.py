@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcn_maxcut_tpu.bench.roofline import RooflineModel, chip_specs
-from gcn_maxcut_tpu.core.graph import Graph, pad_graph_batch
+from gcn_maxcut_tpu.core.graph import Graph, pad_graph_batch, round_up
 from gcn_maxcut_tpu.data.generate import generate_graph, regular_graph_on_device
 from gcn_maxcut_tpu.data.process import DataConfig, process_graphs
 from gcn_maxcut_tpu.ops.segment import spmm
@@ -38,35 +38,9 @@ def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def _scan_timeit(
-    op, x0, k_hi: int = 50, k_lo: int = 10, reps: int = 3
-) -> float:
-    """Trustworthy per-op time on any runtime: K chained applications of
-    ``op`` inside ONE jit (lax.scan), ended by a host scalar fetch; the
-    difference between K_hi and K_lo runs cancels dispatch/RTT overhead.
-
-    Validated against hardware peaks (8192³ bf16 matmul → 89% of v5e MXU
-    peak; 256 MB stream → 72% of HBM) — see docs/DESIGN.md timing note.
-    ``op`` must map x -> x (same shape/dtype).
-    """
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("k",))
-    def chain(x, k):
-        y, _ = jax.lax.scan(lambda c, _: (op(c), None), x, None, length=k)
-        return jnp.sum(y)
-
-    float(chain(x0, k_hi))  # compile both signatures
-    float(chain(x0, k_lo))
-    best = {}
-    for k in (k_hi, k_lo):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(chain(x0, k))
-            ts.append(time.perf_counter() - t0)
-        best[k] = min(ts)
-    return max(1e-9, (best[k_hi] - best[k_lo]) / (k_hi - k_lo))
+# Canonical implementation lives in utils/timing.py (shared with the eval
+# harness and the k-way sweep); the `_scan_timeit` name is kept for docs.
+from gcn_maxcut_tpu.utils.timing import scan_timeit as _scan_timeit  # noqa: E402
 
 
 def _device_graph(n: int, d: int, seed: int = 0) -> Graph:
@@ -96,48 +70,120 @@ def _device_graph(n: int, d: int, seed: int = 0) -> Graph:
     )
 
 
+def _banded_regular_graph(
+    n: int, d: int, w: int, n_pad: int | None = None, seed: int = 0
+) -> Graph:
+    """Exact d-regular random graph with all neighbor offsets within ±w —
+    the post-RCM shape of any bandable graph (``data/reorder.py``).
+
+    Built as d/2 distinct circulant shifts relabeled by a random *local*
+    permutation (shuffles within blocks of w/4), so per-row neighbor
+    structure is arbitrary (the block-ELL kernel sees true gather indices,
+    nothing circulant survives) while degrees stay exactly d and the
+    bandwidth stays ≤ w.
+    """
+    rng = np.random.default_rng(seed)
+    half = rng.choice(np.arange(1, max(2, w // 2)), size=d // 2, replace=False)
+    perm = np.arange(n)
+    r = max(8, w // 4)
+    for s in range(0, n, r):
+        rng.shuffle(perm[s:s + r])
+    u = np.tile(perm[np.arange(n)], d // 2)
+    v = np.concatenate([perm[(np.arange(n) + o) % n] for o in half])
+    from gcn_maxcut_tpu.core.graph import graph_from_edges
+
+    return graph_from_edges(
+        np.stack([u, v], axis=1), n, n_pad=n_pad, block_ell=True
+    )
+
+
 def bench_spmm(
     n: int = 100_000,
     d: int = 8,
     feature_dim: int = 128,
     chip: str = "v5e",
     iters: int = 10,
+    locality: int = 255,
 ) -> Dict[str, float]:
-    """SpMM fwd and fwd+bwd edges/s with roofline fraction."""
-    g = _device_graph(n, d)
+    """General-graph SpMM fwd / fwd+bwd edges/s with roofline fractions.
+
+    Two instances, two dispatch paths (``ops/segment.spmm``):
+      * ``banded random`` — exact d-regular, arbitrary per-row structure,
+        neighbor offsets within ±``locality`` (what RCM reordering produces
+        for any graph with locality): rides the block-ELL Pallas kernel
+        (``ops/pallas_block_ell.py``).  This is the headline general-SpMM
+        number.
+      * ``expander`` — random circulant offsets spanning the whole id
+        space; no ordering can band an expander, so it rides the ELL
+        gather path, which sits near the hardware's scattered-row-gather
+        ceiling (a single ``x[idx]`` gather measures ~405 GB/s ≈ 49% of
+        stream peak on v5e; the d-gather chain lands at ~34% of the
+        roofline below, which charges one row read per edge).
+    """
     x = jax.random.normal(jax.random.PRNGKey(1), (n, feature_dim), jnp.float32)
-
-    scale = 1.0 / d
-    t_fwd = _scan_timeit(lambda x_: spmm(g, x_) * scale, x)
-
-    grad_fn = jax.grad(lambda x_: jnp.sum(spmm(g, x_) ** 2))
-    t_fwdbwd = _scan_timeit(lambda x_: grad_fn(x_) * (scale * scale * 0.5), x)
-
     e = n * d
     model = RooflineModel(chip_specs(chip), feature_dim, n, e)
+    scale = 1.0 / d
     res = {
         "n": n,
         "d": d,
         "feature_dim": feature_dim,
         "edges_directed": e,
-        "fwd_time_s": t_fwd,
-        "fwd_edges_per_s": e / t_fwd,
-        "fwdbwd_time_s": t_fwdbwd,
-        "fwdbwd_edges_per_s": e / t_fwdbwd,
         "roofline_fwd_edges_per_s": model.edges_per_s(fwd_bwd=False),
         "roofline_fwdbwd_edges_per_s": model.edges_per_s(fwd_bwd=True),
-        "fraction_of_roofline_fwd": model.fraction_of_roofline(
+    }
+
+    # --- banded-random instance on the block-ELL kernel (headline) ---
+    n_pad = round_up(n, 2048)  # divisor-friendly so the plan gets B≈256
+    gb = _banded_regular_graph(n, d, locality, n_pad=n_pad)
+    assert gb.bell_block is not None, "banded instance must plan"
+    xb = jnp.concatenate(
+        [x, jnp.zeros((n_pad - n, feature_dim), jnp.float32)]
+    )
+    t_fwd = _scan_timeit(lambda x_: spmm(gb, x_) * scale, xb)
+    grad_b = jax.grad(lambda x_: jnp.sum(spmm(gb, x_) ** 2))
+    t_fwdbwd = _scan_timeit(lambda x_: grad_b(x_) * (scale * scale * 0.5), xb)
+    res.update(
+        fwd_time_s=t_fwd,
+        fwd_edges_per_s=e / t_fwd,
+        fwdbwd_time_s=t_fwdbwd,
+        fwdbwd_edges_per_s=e / t_fwdbwd,
+        fraction_of_roofline_fwd=model.fraction_of_roofline(
             e / t_fwd, fwd_bwd=False
         ),
-        "fraction_of_roofline_fwdbwd": model.fraction_of_roofline(
+        fraction_of_roofline_fwdbwd=model.fraction_of_roofline(
             e / t_fwdbwd, fwd_bwd=True
         ),
-    }
+        bell_block=gb.bell_block,
+        bell_wp=gb.bell_wp,
+    )
+
+    # --- expander instance on the ELL gather path ---
+    ge = _device_graph(n, d)
+    t_fwd_e = _scan_timeit(lambda x_: spmm(ge, x_) * scale, x)
+    grad_e = jax.grad(lambda x_: jnp.sum(spmm(ge, x_) ** 2))
+    t_fb_e = _scan_timeit(lambda x_: grad_e(x_) * (scale * scale * 0.5), x)
+    res.update(
+        expander_fwd_edges_per_s=e / t_fwd_e,
+        expander_fwdbwd_edges_per_s=e / t_fb_e,
+        expander_fraction_of_roofline_fwd=model.fraction_of_roofline(
+            e / t_fwd_e, fwd_bwd=False
+        ),
+        expander_fraction_of_roofline_fwdbwd=model.fraction_of_roofline(
+            e / t_fb_e, fwd_bwd=True
+        ),
+    )
     logger.info(
-        "spmm n=%d d=%d F=%d: fwd %.2e edges/s (%.0f%% SoL), fwd+bwd %.2e (%.0f%% SoL)",
+        "spmm n=%d d=%d F=%d: banded-random/block-ELL fwd %.2e edges/s "
+        "(%.0f%% SoL), fwd+bwd %.2e (%.0f%%); expander/gather fwd %.2e "
+        "(%.0f%%), fwd+bwd %.2e (%.0f%%)",
         n, d, feature_dim,
         res["fwd_edges_per_s"], 100 * res["fraction_of_roofline_fwd"],
         res["fwdbwd_edges_per_s"], 100 * res["fraction_of_roofline_fwdbwd"],
+        res["expander_fwd_edges_per_s"],
+        100 * res["expander_fraction_of_roofline_fwd"],
+        res["expander_fwdbwd_edges_per_s"],
+        100 * res["expander_fraction_of_roofline_fwdbwd"],
     )
     return res
 

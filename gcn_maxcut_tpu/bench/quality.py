@@ -27,6 +27,7 @@ import time
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gcn_maxcut_tpu.baselines.randomized import randomized_k_way_maxcut
@@ -124,6 +125,7 @@ def run_quality_suite(
     max_nodes: int = 1000,
     train_kwargs: Optional[Dict[str, Any]] = None,
     seed: int = 1000,
+    measure_times: bool = True,
 ) -> Dict[str, Any]:
     """Train (per ``recipe``) and evaluate the per-size suites.
 
@@ -150,12 +152,14 @@ def run_quality_suite(
         ds = process_graphs(specs, DataConfig(max_nodes=max_nodes))
         params = models.get(str(s), models.get("all"))
         simple, post, refined, rand, post_t, refine_t = [], [], [], [], [], []
+        refined_rand = []
         for idx in sorted(ds.graphs):
             g = ds.graphs[idx]
             res = test_single_graph(
                 params, g, jax.random.PRNGKey(9000 + s + idx),
                 post_processing_iterations=post_iterations,
                 refine=refine,
+                measure_times=measure_times,
             )
             if not res["success"]:
                 logger.info("graph %d/%d failed: %s", s, idx, res["error"])
@@ -166,25 +170,40 @@ def run_quality_suite(
             if refine:
                 refined.append(res["refined_cut"])
                 refine_t.append(res["refined_time"])
-            _, rc, _ = randomized_k_way_maxcut(
+            ra, rc, _ = randomized_k_way_maxcut(
                 g, k=3, max_iterations=randomized_iterations,
                 patience=randomized_iterations, seed=7000 + idx,
             )
             rand.append(rc)
+            if refine:
+                # attribution ablation: the same greedy-flip budget applied
+                # to the randomized baseline's best assignment — isolates
+                # the GCN's contribution from the local search's
+                from gcn_maxcut_tpu.eval.decode import refine_with_local_search
+
+                ra_pad = np.zeros(g.n_pad, np.int32)
+                ra_pad[: ra.shape[0]] = ra
+                _, rr = refine_with_local_search(g, jnp.asarray(ra_pad))
+                refined_rand.append(float(rr))
         per_size[s] = {
             "simple": float(np.mean(simple)),
             "post": float(np.mean(post)),
             "refined": float(np.mean(refined)) if refined else None,
             "randomized": float(np.mean(rand)),
+            "refined_random": (
+                float(np.mean(refined_rand)) if refined_rand else None
+            ),
             "post_time_s": float(np.mean(post_t)),
             "refine_time_s": float(np.mean(refine_t)) if refine_t else None,
             "graphs": len(simple),
         }
         logger.info(
-            "size %d: simple %.0f | post %.0f | refined %s | randomized %.0f",
+            "size %d: simple %.0f | post %.0f | refined %s | randomized %.0f"
+            " | refined-random %s",
             s, per_size[s]["simple"], per_size[s]["post"],
             f"{per_size[s]['refined']:.0f}" if refine else "-",
             per_size[s]["randomized"],
+            f"{per_size[s]['refined_random']:.0f}" if refined_rand else "-",
         )
 
     simple_mean = float(np.mean([v["simple"] for v in per_size.values()]))
@@ -193,17 +212,37 @@ def run_quality_suite(
         >= v["randomized"]
         for v in per_size.values()
     )
+    post_beats_sizes = sum(
+        1 for v in per_size.values() if v["post"] >= v["randomized"]
+    )
+    refined_vs_refined_random = (
+        all(
+            v["refined"] >= v["refined_random"]
+            for v in per_size.values()
+            if v["refined"] is not None and v["refined_random"] is not None
+        )
+        if refine else None
+    )
     result = {
         "recipe": recipe,
         "per_size": per_size,
         "simple_mean": simple_mean,
         "reference_simple_mean": 547.1,
         "default_decode_beats_randomized_all_sizes": bool(post_beats),
+        "gcn_post_beats_randomized_sizes": post_beats_sizes,
+        # attribution: same flip budget from a random start vs the GCN start
+        "refined_gcn_beats_refined_random_all_sizes": refined_vs_refined_random,
         "refine_default": refine,
+        "timing_method": (
+            "scan_timeit amortized in-jit" if measure_times else "skipped"
+        ),
     }
     logger.info(
         "suite done: simple mean %.1f (ref 547.1), default decode beats "
-        "randomized at all sizes: %s", simple_mean, post_beats,
+        "randomized at all sizes: %s; GCN+post beats randomized at %d/%d "
+        "sizes; refined-GCN >= refined-random at all sizes: %s",
+        simple_mean, post_beats, post_beats_sizes, len(per_size),
+        refined_vs_refined_random,
     )
     return result
 

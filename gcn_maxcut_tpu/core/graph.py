@@ -68,6 +68,23 @@ class Graph:
     ell_senders: jnp.ndarray | None = None   # int32 [n_pad, max_deg]
     ell_weights: jnp.ndarray | None = None   # f32   [n_pad, max_deg], 0 pad
     ell_mask: jnp.ndarray | None = None      # f32   [n_pad, max_deg]
+    # Block-ELL plan (ops/pallas_block_ell.py): for locality-reordered /
+    # banded graphs, SpMM streams a [block + 2*wp, F] source window per
+    # receiver block and resolves the arbitrary in-window indices on the
+    # MXU (~2x the gather path, measured).  The plan carries its own
+    # width-capped ELL tables (the kernel cost scales with table width);
+    # edges escaping their window (e.g. the terminal rows
+    # normalize_terminals moves to ids 0..2) or spilling the width ride
+    # the padded outlier COO arrays.  None => gather/segment paths.
+    bell_senders: jnp.ndarray | None = None        # int32 [n_pad, bw]
+    bell_weights: jnp.ndarray | None = None        # f32 [n_pad, bw], 0 pad
+    bell_mask: jnp.ndarray | None = None           # f32 [n_pad, bw]
+    bell_out_senders: jnp.ndarray | None = None    # int32 [o_pad]
+    bell_out_receivers: jnp.ndarray | None = None  # int32 [o_pad]
+    bell_out_weights: jnp.ndarray | None = None    # f32 [o_pad], 0 pad
+    bell_out_mask: jnp.ndarray | None = None       # f32 [o_pad]
+    bell_block: int | None = struct.field(pytree_node=False, default=None)
+    bell_wp: int | None = struct.field(pytree_node=False, default=None)
 
     @property
     def n_pad(self) -> int:
@@ -91,12 +108,20 @@ def _build_padded_coo(
     n_pad: int,
     e_pad: int,
     ell_width: int | None = None,
+    block_ell: bool | str = "auto",
 ) -> Graph:
     """Assemble a `Graph` from host-side directed COO arrays.
 
     ``ell_width``: ELL table width. None = this graph's max degree (when
     ≤ ELL_MAX_DEGREE); 0 = disable ELL; an explicit positive width lets a
     dataset share one width so its graphs stack into a batch.
+
+    ``block_ell``: attach a windowed block-ELL SpMM plan
+    (``ops/pallas_block_ell.plan_block_ell``) when the graph bands.
+    ``"auto"`` (default) only tries for n_pad >= 4096 — below that the
+    dense-MXU or gather paths win anyway; ``True`` forces the attempt,
+    ``False`` skips it.  Planning is O(E) host work and attaches nothing
+    when the graph is an expander (no ordering bands it).
     """
     m = src.shape[0]
     if m > e_pad:
@@ -152,6 +177,14 @@ def _build_padded_coo(
             ell_mask[r, j] = 1.0
             slot[r] = j + 1
 
+    plan = None
+    if ell_width > 0 and (
+        block_ell is True or (block_ell == "auto" and n_pad >= 4096)
+    ):
+        from gcn_maxcut_tpu.ops.pallas_block_ell import plan_block_ell
+
+        plan = plan_block_ell(src, dst, w, n_pad)
+
     return Graph(
         senders=jnp.asarray(senders),
         receivers=jnp.asarray(receivers),
@@ -165,6 +198,22 @@ def _build_padded_coo(
         ell_senders=None if ell_senders is None else jnp.asarray(ell_senders),
         ell_weights=None if ell_weights is None else jnp.asarray(ell_weights),
         ell_mask=None if ell_mask is None else jnp.asarray(ell_mask),
+        **({} if plan is None else _bell_fields(plan)),
+    )
+
+
+def _bell_fields(plan) -> dict:
+    """Graph field dict for a ``BlockEllPlan``."""
+    return dict(
+        bell_senders=jnp.asarray(plan.senders),
+        bell_weights=jnp.asarray(plan.weights),
+        bell_mask=jnp.asarray(plan.mask),
+        bell_out_senders=jnp.asarray(plan.out_senders),
+        bell_out_receivers=jnp.asarray(plan.out_receivers),
+        bell_out_weights=jnp.asarray(plan.out_weights),
+        bell_out_mask=jnp.asarray(plan.out_mask),
+        bell_block=plan.block,
+        bell_wp=plan.wp,
     )
 
 
@@ -177,6 +226,7 @@ def graph_from_edges(
     e_pad: int | None = None,
     symmetrize: bool = True,
     ell_width: int | None = None,
+    block_ell: bool | str = "auto",
 ) -> Graph:
     """Build a padded `Graph` from an undirected edge list.
 
@@ -201,7 +251,7 @@ def graph_from_edges(
     e_pad = e_pad if e_pad is not None else round_up(src.shape[0], 128)
     return _build_padded_coo(
         src.astype(np.int32), dst.astype(np.int32), w, n_nodes, n_pad, e_pad,
-        ell_width=ell_width,
+        ell_width=ell_width, block_ell=block_ell,
     )
 
 
@@ -211,6 +261,7 @@ def graph_from_dense(
     n_pad: int | None = None,
     e_pad: int | None = None,
     ell_width: int | None = None,
+    block_ell: bool | str = "auto",
 ) -> Graph:
     """Build a `Graph` from a dense (possibly weighted) adjacency matrix.
 
@@ -226,7 +277,7 @@ def graph_from_dense(
     e_pad = e_pad if e_pad is not None else round_up(max(1, src.shape[0]), 128)
     return _build_padded_coo(
         src.astype(np.int32), dst.astype(np.int32), w, n, n_pad, e_pad,
-        ell_width=ell_width,
+        ell_width=ell_width, block_ell=block_ell,
     )
 
 
@@ -251,6 +302,28 @@ def dense_adjacency(
     # Padding edges carry weight 0 and land at (n_pad-1, n_pad-1): harmless.
     cols = jnp.minimum(g.senders, width - 1)
     return dense.at[g.receivers, cols].add(vals)
+
+
+def attach_block_ell(g: Graph, **plan_kwargs) -> Graph:
+    """Attempt to attach a block-ELL SpMM plan to an existing `Graph`.
+
+    For graphs assembled outside the host builders (e.g. fully on device).
+    Pulls the real COO edges to the host, plans, and returns a new Graph
+    (unchanged if the graph does not band — check ``g.bell_block``).
+    """
+    from gcn_maxcut_tpu.ops.pallas_block_ell import plan_block_ell
+
+    mask = np.asarray(g.edge_mask) > 0
+    plan = plan_block_ell(
+        np.asarray(g.senders)[mask],
+        np.asarray(g.receivers)[mask],
+        np.asarray(g.weights)[mask],
+        g.n_pad,
+        **plan_kwargs,
+    )
+    if plan is None:
+        return g
+    return g.replace(**_bell_fields(plan))
 
 
 def pad_graph_batch(graphs: List[Graph]) -> Graph:

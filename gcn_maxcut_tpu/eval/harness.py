@@ -55,6 +55,22 @@ def _decode_simple(g: Graph, probs):
     return asn, hard_cut_value(g, asn)
 
 
+def _stage_time(stage_cut_fn, probs, k_hi: int = 24, k_lo: int = 6) -> float:
+    """Amortized in-jit timing of a probs -> cut decode stage.
+
+    ``block_until_ready`` acks before completion on the tunneled TPU
+    (PARITY.md §3), so per-stage timings chain K copies of the stage inside
+    one jit via ``utils.timing.scan_timeit`` and difference two K values;
+    the ``probs + 0·cut`` carry defeats CSE between the copies.
+    """
+    from gcn_maxcut_tpu.utils.timing import scan_timeit
+
+    def op(p):
+        return p + 0.0 * stage_cut_fn(p)
+
+    return scan_timeit(op, probs, k_hi=k_hi, k_lo=k_lo, reps=2)
+
+
 def test_single_graph(
     params: Any,
     g: Graph,
@@ -62,6 +78,7 @@ def test_single_graph(
     post_processing_iterations: int = 200,
     terminals: Optional[List[int]] = None,
     refine: bool = False,
+    measure_times: bool = True,
 ) -> Dict[str, Any]:
     """Simple (argmax) and post-processed decode with timings.
 
@@ -69,33 +86,53 @@ def test_single_graph(
     (``TestingNeuralNetwork.py:164-178``): success/nodes/edges/simple_cut/
     simple_time/simple_assignment/post_cut/post_time/post_assignment/
     improvement/improvement_percent/terminals/node_probabilities.
+
+    Timings use the amortized in-jit method (``utils.timing.scan_timeit``) —
+    ``block_until_ready`` acks before completion on the tunneled TPU, so
+    naive per-stage stopwatches are lower bounds of unknown looseness
+    (PARITY.md §3).  ``measure_times=False`` skips the timing chains (the
+    cut values are computed either way) and reports 0.0.
     """
     try:
         probs = _forward(params, g)
-        probs.block_until_ready()
 
-        t0 = time.perf_counter()
         simple_asn, simple_cut = _decode_simple(g, probs)
-        simple_cut.block_until_ready()
-        simple_time = time.perf_counter() - t0
+        simple_time = (
+            _stage_time(lambda p: _decode_simple(g, p)[1], probs)
+            if measure_times else 0.0
+        )
 
-        t0 = time.perf_counter()
         post_asn, post_cut = post_process_jit(
             g, probs, key, iterations=post_processing_iterations
         )
-        post_cut.block_until_ready()
-        post_time = time.perf_counter() - t0
+        post_time = (
+            _stage_time(
+                lambda p: post_process_jit(
+                    g, p, key, iterations=post_processing_iterations
+                )[1],
+                probs,
+            )
+            if measure_times else 0.0
+        )
 
         refined: Dict[str, Any] = {}
         if refine:
             from gcn_maxcut_tpu.eval.decode import refine_with_local_search
 
-            t0 = time.perf_counter()
             ref_asn, ref_cut = refine_with_local_search(g, post_asn)
-            ref_cut.block_until_ready()
+
+            def _refine_cut(p):
+                # re-derive the refine input from p so the chained copies
+                # depend on the carry (identical work each iteration)
+                asn = post_asn + (p.ravel()[0] * 0.0).astype(post_asn.dtype)
+                return refine_with_local_search(g, asn)[1]
+
             refined = {
                 "refined_cut": float(ref_cut),
-                "refined_time": time.perf_counter() - t0,
+                "refined_time": (
+                    _stage_time(_refine_cut, probs, k_hi=12, k_lo=3)
+                    if measure_times else 0.0
+                ),
                 "refined_assignment": np.asarray(ref_asn)[: int(g.n_nodes)],
             }
 
@@ -137,6 +174,7 @@ def test_multiple_graphs(
     seed: int = 0,
     size_tolerance: int = 5,
     refine: bool = False,
+    measure_times: bool = True,
 ) -> Tuple[List[Dict], Dict]:
     """Sweep the dataset, bucketing results by nearest configured size.
 
@@ -171,6 +209,7 @@ def test_multiple_graphs(
             post_processing_iterations,
             terminals=dataset.specs[key_idx].terminals,
             refine=refine,
+            measure_times=measure_times,
         )
         if result["success"]:
             result.update({"graph_name": f"graph_{key_idx}", "graph_size": graph_size})

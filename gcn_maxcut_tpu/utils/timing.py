@@ -58,3 +58,41 @@ class PhaseTimer:
         lines = [f"{k}: {v:.2f}s" for k, v in self.phases.items()]
         lines.append(f"total: {total:.2f}s")
         return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Trusted on-device timing.  ``jax.block_until_ready`` does not actually
+# synchronize on this environment's tunneled TPU -- it acks before
+# completion, producing impossibly fast timings (PARITY.md S3 records a
+# "43 PFLOP/s matmul" from a naive loop).  Hot-path measurements use the
+# amortized in-jit method below: K chained applications of the op inside
+# ONE jit (``lax.scan``), ended by a host scalar fetch that forces real
+# completion; the difference between a K_hi and a K_lo run cancels
+# dispatch/RTT overhead.  Validated against hardware peaks (8192^3 bf16
+# matmul -> 89% of v5e MXU peak; 256 MB stream -> 72% of HBM).
+
+import jax.numpy as jnp
+from functools import partial
+
+
+def scan_timeit(op, x0, k_hi: int = 50, k_lo: int = 10, reps: int = 3) -> float:
+    """Trustworthy per-op seconds on any runtime.  ``op`` must map x -> x
+    (same shape/dtype) so applications chain; give the op a data dependency
+    on its input (e.g. ``x + 0.0 * result``) or XLA will CSE the copies."""
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(x, k):
+        y, _ = jax.lax.scan(lambda c, _: (op(c), None), x, None, length=k)
+        return jnp.sum(y)
+
+    float(chain(x0, k_hi))  # compile both signatures
+    float(chain(x0, k_lo))
+    best = {}
+    for k in (k_hi, k_lo):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(x0, k))
+            ts.append(time.perf_counter() - t0)
+        best[k] = min(ts)
+    return max(1e-9, (best[k_hi] - best[k_lo]) / (k_hi - k_lo))

@@ -107,6 +107,35 @@ def test_bls_runs_and_beats_init():
     assert list(np.asarray(asn)[:3]) == [0, 1, 2]
 
 
+def test_multi_max_cut_recursive():
+    """Recursive 2-way-split heuristic (reference huerestics_multi-max.ipynb
+    cell 6): valid k-way assignment, terminals in distinct classes, cut
+    consistent with the oracle evaluator and at least random-floor quality."""
+    from gcn_maxcut_tpu.baselines import multi_max_cut_recursive
+
+    g = _graph(n=24, d=4, seed=11)
+    asn, cut = multi_max_cut_recursive(g, [0, 1, 2], jax.random.PRNGKey(3))
+    a = np.asarray(asn)[: int(g.n_nodes)]
+    assert list(a[:3]) == [0, 1, 2]
+    assert set(a) <= {0, 1, 2}
+    adj = _dense(g)
+    assert float(cut) == pytest.approx(oracle_cut_value(adj, a))
+    # best-of-10 random bisections recursed should beat a single random cut's
+    # expectation (2/3 of edges) on at least this fixed instance
+    total_w = adj.sum() / 2
+    assert float(cut) >= 0.60 * total_w
+
+
+def test_multi_max_cut_recursive_k4_separates_terminals():
+    from gcn_maxcut_tpu.baselines import multi_max_cut_recursive
+
+    g = _graph(n=20, d=4, seed=12)
+    asn, cut = multi_max_cut_recursive(g, [0, 1, 2, 3], jax.random.PRNGKey(4))
+    a = np.asarray(asn)[: int(g.n_nodes)]
+    assert list(a[:4]) == [0, 1, 2, 3]
+    assert float(cut) > 0
+
+
 def test_brute_force_matches_oracle():
     g = _graph(n=10, d=3, seed=7)
     adj = _dense(g)
