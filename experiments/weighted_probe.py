@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Probe: why is the weighted banded kernel at 32-47% SoL vs unit's 92%?
+
+Hypotheses tested, one kernel variant each (all share the unit kernel's
+fused-window DMA plan from ops/pallas_banded.py):
+
+  blockw  baseline: w via auto-pipelined [B, D] BlockSpec, VPU broadcast
+          multiply (what banded_spmm ships today).
+  fullw   whole [n, D] w resident in VMEM (4 MB at n=131k), kernel slices
+          rows by block index -> removes the BlockSpec pipeline entirely.
+          If the auto-pipeline was serializing the manual window DMAs,
+          this jumps.
+  hoist   blockw, but all D lane-broadcasts computed before the fma loop
+          (tests whether Mosaic fails to hoist the column extracts).
+  mxu1    broadcast each w column via a rank-1 bf16 MXU matmul
+          (w_col [B,1] @ ones [1,F]) -- inexact (bf16 truncation), perf
+          ceiling for the MXU route.
+  mxu2    same but hi/lo bf16 split as ONE K=2 matmul with f32 accum
+          (rel err ~1e-5 -- 16 mantissa bits).
+  unit    the unit kernel, for the run's SoL anchor.
+
+Run on the axon TPU:  python experiments/weighted_probe.py
+(wraps itself in a retrying child; the tunnel hangs device init ~1-in-2).
+"""
+
+import functools
+import os
+import subprocess
+import sys
+
+if os.environ.get("PROBE_CHILD") != "1" and __name__ == "__main__":
+    for attempt in range(3):
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, PROBE_CHILD="1"),
+                timeout=900,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            print(f"[probe] attempt {attempt} timed out; retrying", flush=True)
+            continue
+        sys.exit(rc)
+    sys.exit(1)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gcn_maxcut_tpu.ops.pallas_banded import (
+    _VMEM_LIMIT,
+    _window_plan,
+    banded_spmm,
+    banded_spmm_unit,
+    banded_spmm_xla,
+)
+from gcn_maxcut_tpu.utils.timing import scan_timeit
+
+N, D, F, W = 131_072, 8, 128, 63
+BLOCK = 8192
+
+
+def _kernel(offsets, B, Wp, F, n_blocks, variant, *refs):
+    w_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+    start, wait = _window_plan(x_hbm, lo_hbm, hi_hbm, scratch, sems, B, Wp, n_blocks)
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        start(i + 1, nxt)
+
+    wait(i, slot)
+    x_win = scratch[slot]
+    acc = jnp.zeros((B, F), jnp.float32)
+
+    if variant == "fullw":
+        w_blk = w_ref[pl.ds(pl.multiple_of(i * B, 8), B), :]
+    else:
+        w_blk = w_ref[:]
+
+    if variant in ("blockw", "fullw"):
+        for k, o in enumerate(offsets):
+            acc = acc + w_blk[:, k : k + 1] * x_win[Wp + o : Wp + o + B, :]
+    elif variant == "hoist":
+        cols = [
+            jnp.broadcast_to(w_blk[:, k : k + 1], (B, F))
+            for k in range(len(offsets))
+        ]
+        for k, o in enumerate(offsets):
+            acc = acc + cols[k] * x_win[Wp + o : Wp + o + B, :]
+    elif variant == "mxu1":
+        wh = w_blk.astype(jnp.bfloat16)
+        ones = jnp.ones((1, F), jnp.bfloat16)
+        for k, o in enumerate(offsets):
+            bw = jax.lax.dot_general(
+                wh[:, k : k + 1], ones,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + bw * x_win[Wp + o : Wp + o + B, :]
+    elif variant == "mxu2":
+        wh = w_blk.astype(jnp.bfloat16)
+        wl = (w_blk - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        ones = jnp.ones((2, F), jnp.bfloat16)
+        for k, o in enumerate(offsets):
+            pair = jnp.concatenate(
+                [wh[:, k : k + 1], wl[:, k : k + 1]], axis=1
+            )
+            bw = jax.lax.dot_general(
+                pair, ones,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + bw * x_win[Wp + o : Wp + o + B, :]
+    else:
+        raise ValueError(variant)
+    out_ref[:] = acc
+
+
+def weighted_variant(x, w, offsets, variant, block=BLOCK):
+    n, F = x.shape
+    Wmax = int(max(abs(o) for o in offsets))
+    Wp = (Wmax + 7) // 8 * 8
+    n_blocks = n // block
+    lo = x[n - Wp :]
+    hi = x[:Wp]
+    if variant == "fullw":
+        w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        w_spec = pl.BlockSpec(
+            (block, w.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    kernel = functools.partial(
+        _kernel, tuple(offsets), block, Wp, F, n_blocks, variant
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[w_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(
+            (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, block + 2 * Wp, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
+    )(w, x, lo, hi)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    half = rng.choice(np.arange(1, W + 1), size=D // 2, replace=False)
+    offsets = tuple(int(o) for pair in ((s, -s) for s in half) for o in pair)
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, F), jnp.float32)
+    w = jax.random.uniform(
+        jax.random.PRNGKey(2), (N, D), jnp.float32, 0.5, 1.5
+    )
+    e = N * D
+    sol_unit = 819e9 / (2 * 4.0 * F / D)           # read x + write y
+    sol_w = 819e9 / ((2 * 4.0 * F + 4.0 * D) / D)  # + read w
+
+    ref = banded_spmm_xla(x, w, offsets)
+    scale = 1.0 / D
+
+    t = scan_timeit(lambda x_: banded_spmm_unit(x_, offsets) * scale, x)
+    print(f"unit    : {e / t:.3e} edges/s  ({100 * (e / t) / sol_unit:.1f}% SoL)", flush=True)
+
+    t = scan_timeit(lambda x_: banded_spmm(x_, w, offsets) * scale, x)
+    print(f"shipped : {e / t:.3e} edges/s  ({100 * (e / t) / sol_w:.1f}% SoL-w)", flush=True)
+
+    for variant in ("blockw", "fullw", "hoist", "mxu1", "mxu2"):
+        fn = jax.jit(lambda x_, v=variant: weighted_variant(x_, w, offsets, v))
+        out = fn(x)
+        err = float(
+            jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref))
+        )
+        t = scan_timeit(lambda x_, f=fn: f(x_) * scale, x)
+        print(
+            f"{variant:8s}: {e / t:.3e} edges/s  "
+            f"({100 * (e / t) / sol_w:.1f}% SoL-w)  rel_err={err:.2e}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
