@@ -29,12 +29,12 @@ import subprocess
 import sys
 
 if os.environ.get("PROBE_CHILD") != "1" and __name__ == "__main__":
-    for attempt in range(3):
+    for attempt in range(4):
         try:
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=dict(os.environ, PROBE_CHILD="1"),
-                timeout=900,
+                timeout=420,
             ).returncode
         except subprocess.TimeoutExpired:
             print(f"[probe] attempt {attempt} timed out; retrying", flush=True)
@@ -64,7 +64,10 @@ BLOCK = 8192
 
 
 def _kernel(offsets, B, Wp, F, n_blocks, variant, *refs):
-    w_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
+    if variant.startswith("mxuall"):
+        w_ref, g_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
+    else:
+        w_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
     i = pl.program_id(0)
     slot = jax.lax.rem(i, 2)
     nxt = jax.lax.rem(i + 1, 2)
@@ -121,6 +124,40 @@ def _kernel(offsets, B, Wp, F, n_blocks, variant, *refs):
                 preferred_element_type=jnp.float32,
             )
             acc = acc + bw * x_win[Wp + o : Wp + o + B, :]
+    elif variant.startswith("mxuall"):
+        # ONE matmul per block computes ALL D lane-broadcasts:
+        # [B, 2D] (hi|lo bf16) @ [2D, D*F] block-diag ones -> [B, D*F] f32.
+        # The fma loop then matches the unit kernel's VPU cost exactly.
+        bw = jax.lax.dot_general(
+            w_ref[:], g_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for k, o in enumerate(offsets):
+            acc = acc + bw[:, k * F : (k + 1) * F] * x_win[Wp + o : Wp + o + B, :]
+    elif variant.startswith("hybrid"):
+        # offsets alternate between the MXU rank-1 hi/lo route and the VPU
+        # broadcast route so the two units overlap.
+        s = int(variant[6:])
+        wh = w_blk.astype(jnp.bfloat16)
+        wl = (w_blk - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        ones = jnp.ones((2, F), jnp.bfloat16)
+        order = sorted(range(len(offsets)), key=lambda k: (k % 2, k))
+        mxu_set = set(order[:s])
+        for k, o in enumerate(offsets):
+            xs = x_win[Wp + o : Wp + o + B, :]
+            if k in mxu_set:
+                pair = jnp.concatenate(
+                    [wh[:, k : k + 1], wl[:, k : k + 1]], axis=1
+                )
+                bw = jax.lax.dot_general(
+                    pair, ones,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + bw * xs
+            else:
+                acc = acc + w_blk[:, k : k + 1] * xs
     else:
         raise ValueError(variant)
     out_ref[:] = acc
@@ -128,14 +165,37 @@ def _kernel(offsets, B, Wp, F, n_blocks, variant, *refs):
 
 def weighted_variant(x, w, offsets, variant, block=BLOCK):
     n, F = x.shape
+    D = w.shape[1]
     Wmax = int(max(abs(o) for o in offsets))
     Wp = (Wmax + 7) // 8 * 8
     n_blocks = n // block
     lo = x[n - Wp :]
     hi = x[:Wp]
-    if variant == "fullw":
+    extra_args, extra_specs = (), ()
+    if variant.startswith("mxuall"):
+        if variant == "mxuallbf16":
+            w_in = w.astype(jnp.bfloat16)          # inexact ceiling check
+            g = np.zeros((D, D * F), np.float32)
+            for k in range(D):
+                g[k, k * F : (k + 1) * F] = 1.0
+        else:
+            wh = w.astype(jnp.bfloat16)
+            wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            w_in = jnp.concatenate([wh, wl], axis=1)   # [n, 2D]
+            g = np.zeros((2 * D, D * F), np.float32)
+            for k in range(D):
+                g[k, k * F : (k + 1) * F] = 1.0
+                g[D + k, k * F : (k + 1) * F] = 1.0
+        extra_args = (jnp.asarray(g, jnp.bfloat16),)
+        extra_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),)
+        w_spec = pl.BlockSpec(
+            (block, w_in.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    elif variant == "fullw":
+        w_in = w
         w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     else:
+        w_in = w
         w_spec = pl.BlockSpec(
             (block, w.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
@@ -145,7 +205,7 @@ def weighted_variant(x, w, offsets, variant, block=BLOCK):
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[w_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[w_spec, *extra_specs] + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(
             (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -157,7 +217,7 @@ def weighted_variant(x, w, offsets, variant, block=BLOCK):
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
         ),
-    )(w, x, lo, hi)
+    )(w_in, *extra_args, x, lo, hi)
 
 
 def main():
@@ -176,23 +236,31 @@ def main():
     scale = 1.0 / D
 
     t = scan_timeit(lambda x_: banded_spmm_unit(x_, offsets) * scale, x)
-    print(f"unit    : {e / t:.3e} edges/s  ({100 * (e / t) / sol_unit:.1f}% SoL)", flush=True)
+    print(f"unit        : {e / t:.3e} edges/s  ({100 * (e / t) / sol_unit:.1f}% SoL)", flush=True)
 
-    t = scan_timeit(lambda x_: banded_spmm(x_, w, offsets) * scale, x)
-    print(f"shipped : {e / t:.3e} edges/s  ({100 * (e / t) / sol_w:.1f}% SoL-w)", flush=True)
-
-    for variant in ("blockw", "fullw", "hoist", "mxu1", "mxu2"):
-        fn = jax.jit(lambda x_, v=variant: weighted_variant(x_, w, offsets, v))
-        out = fn(x)
-        err = float(
-            jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref))
-        )
-        t = scan_timeit(lambda x_, f=fn: f(x_) * scale, x)
-        print(
-            f"{variant:8s}: {e / t:.3e} edges/s  "
-            f"({100 * (e / t) / sol_w:.1f}% SoL-w)  rel_err={err:.2e}",
-            flush=True,
-        )
+    cases = [
+        ("hybrid2", 8192), ("hybrid1", 8192), ("hybrid3", 8192),
+        ("hybrid2", 4096), ("hybrid2", 2048),
+        ("hybrid2", 8192), ("hybrid2", 8192),
+    ]
+    for variant, blk in cases:
+        tag = f"{variant}@{blk}"
+        try:
+            fn = jax.jit(
+                lambda x_, v=variant, b=blk: weighted_variant(
+                    x_, w, offsets, v, block=b
+                )
+            )
+            out = fn(x)
+            err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+            t = scan_timeit(lambda x_, f=fn: f(x_) * scale, x)
+            print(
+                f"{tag:12s}: {e / t:.3e} edges/s  "
+                f"({100 * (e / t) / sol_w:.1f}% SoL-w)  rel_err={err:.2e}",
+                flush=True,
+            )
+        except Exception as exc:
+            print(f"{tag:12s}: FAILED {str(exc)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

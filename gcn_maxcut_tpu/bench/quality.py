@@ -62,7 +62,10 @@ def _suite_specs(size: int, count: int, d_range=(6, 8), seed_base: int = 1000):
     return specs
 
 
-def _train_specs(recipe: str, sizes=SIZES, d_range=(6, 8), seed: int = 1000):
+def _train_specs(
+    recipe: str, sizes=SIZES, d_range=(6, 8), seed: int = 1000,
+    graphs_per_size: int = 4,
+):
     rng = np.random.default_rng(seed)
     out: Dict[str, List] = {}
     if recipe == "n500":
@@ -78,7 +81,7 @@ def _train_specs(recipe: str, sizes=SIZES, d_range=(6, 8), seed: int = 1000):
     elif recipe == "mixed":
         specs = []
         for s in sizes:
-            for j in range(4):
+            for j in range(graphs_per_size):
                 d = int(rng.integers(d_range[0], d_range[1] + 1))
                 if (s * d) % 2:
                     d += 1
@@ -102,17 +105,25 @@ def _train_specs(recipe: str, sizes=SIZES, d_range=(6, 8), seed: int = 1000):
     return out
 
 
-def _train(specs, max_nodes: int, **cfg_kwargs) -> Any:
+def _train(specs, max_nodes: int, restarts: int = 1, **cfg_kwargs) -> Any:
+    """Train; with ``restarts > 1``, train that many independently-seeded
+    models and keep the one with the best (lowest) training loss — a
+    deployable recipe lever (selection uses only training information)."""
     ds = process_graphs(specs, DataConfig(max_nodes=max_nodes))
     batch = pad_graph_batch([ds.graphs[k] for k in sorted(ds.graphs)])
-    cfg = TrainingConfig(n_nodes=max_nodes, **cfg_kwargs)
+    base_seed = cfg_kwargs.pop("seed", 0)
     t0 = time.perf_counter()
-    params, best, epoch, _, hist = train_model(batch, cfg)
-    logger.info(
-        "trained %d graphs: best %.0f at epoch %d (%.1fs)",
-        len(specs), best, epoch, time.perf_counter() - t0,
-    )
-    return params
+    best_params, best_loss = None, float("inf")
+    for r in range(max(1, restarts)):
+        cfg = TrainingConfig(n_nodes=max_nodes, seed=base_seed + r, **cfg_kwargs)
+        params, best, epoch, _, hist = train_model(batch, cfg)
+        logger.info(
+            "restart %d: trained %d graphs, best %.0f at epoch %d (%.1fs cum)",
+            r, len(specs), best, epoch, time.perf_counter() - t0,
+        )
+        if best < best_loss:
+            best_params, best_loss = params, best
+    return best_params
 
 
 def run_quality_suite(
@@ -126,6 +137,7 @@ def run_quality_suite(
     train_kwargs: Optional[Dict[str, Any]] = None,
     seed: int = 1000,
     measure_times: bool = True,
+    train_graphs_per_size: int = 4,
 ) -> Dict[str, Any]:
     """Train (per ``recipe``) and evaluate the per-size suites.
 
@@ -142,9 +154,12 @@ def run_quality_suite(
         "epochs_per_call": 10,
         **(train_kwargs or {}),
     }
+    restarts = int(tk.pop("restarts", 1))
     models: Dict[str, Any] = {}
-    for name, specs in _train_specs(recipe, sizes, seed=seed).items():
-        models[name] = _train(specs, max_nodes, **tk)
+    for name, specs in _train_specs(
+        recipe, sizes, seed=seed, graphs_per_size=train_graphs_per_size
+    ).items():
+        models[name] = _train(specs, max_nodes, restarts=restarts, **tk)
 
     per_size: Dict[int, Dict[str, float]] = {}
     for s in sizes:

@@ -54,6 +54,14 @@ class TrainingConfig:
                                            # summed loss over the vmapped
                                            # batch — graphs run in parallel
                                            # on the MXU)
+    lr_schedule: str = "constant"          # "constant" | "cosine": cosine
+                                           # decays the lr over the full
+                                           # number_epochs horizon down to
+                                           # lr_final_fraction * lr (a
+                                           # training-recipe lever the
+                                           # reference lacks; quality suite
+                                           # measures its effect)
+    lr_final_fraction: float = 0.05
     aggregation: str = "auto"              # "auto" | "sparse" | "dense":
                                            # dense = neighborhood aggregation
                                            # as an n_pad x n_pad MXU matmul
@@ -74,6 +82,8 @@ class TrainingConfig:
             raise ValueError(f"unknown aggregation {self.aggregation!r}")
         if self.step_mode not in ("per_graph", "batched"):
             raise ValueError(f"unknown step_mode {self.step_mode!r}")
+        if self.lr_schedule not in ("constant", "cosine"):
+            raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -63,7 +63,9 @@ class TrainState:
     optimizer: optax.GradientTransformation
 
 
-def setup_train_state(config: TrainingConfig) -> TrainState:
+def setup_train_state(
+    config: TrainingConfig, steps_per_epoch: int = 1
+) -> TrainState:
     """Model + embedding + single Adam over both (reference :311-339).
 
     In adjacency-feature mode the embedding receives no gradients (it is
@@ -72,6 +74,10 @@ def setup_train_state(config: TrainingConfig) -> TrainState:
     so the reference never pays optimizer traffic for it; ``optax.masked``
     reproduces that (and saves ~3× the table size in HBM traffic per graph
     step).  In embedding mode the table trains normally.
+
+    ``steps_per_epoch``: optimizer steps per epoch (the graph count in
+    ``per_graph`` step mode), used to size the cosine horizon when
+    ``config.lr_schedule == "cosine"``.
     """
     key = jax.random.PRNGKey(config.seed)
     k_model, k_embed = jax.random.split(key)
@@ -79,7 +85,15 @@ def setup_train_state(config: TrainingConfig) -> TrainState:
         k_model, config.dim_embedding, config.hidden_dim, config.number_classes
     )
     params["embed"] = embedding_init(k_embed, config.n_nodes, config.dim_embedding)
-    adam = optax.adam(config.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if config.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            config.learning_rate,
+            decay_steps=max(1, config.number_epochs * steps_per_epoch),
+            alpha=config.lr_final_fraction,
+        )
+    else:
+        lr = config.learning_rate
+    adam = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if config.feature_mode == "adjacency":
         optimizer = optax.masked(
             adam, {"conv1": True, "conv2": True, "embed": False}
@@ -364,7 +378,11 @@ def train_model(
     reference's legacy ``train1`` warm-start, ``TrainingNeural_load.py:569``,
     plus full optimizer-state + epoch + history restoration).
     """
-    state = state or setup_train_state(config)
+    n_graphs = int(dataset_batch.n_nodes.shape[0])
+    state = state or setup_train_state(
+        config,
+        steps_per_epoch=n_graphs if config.step_mode == "per_graph" else 1,
+    )
     chunk_fn = make_monitored_epoch_fn(config, state.optimizer)
     params, opt_state = state.params, state.opt_state
 

@@ -87,3 +87,19 @@ def test_train_giant_graph_allgather_schedule():
     )
     res = train_giant_graph(s_arr, r_arr, n, cfg)
     assert np.isfinite(res["final_cut"])
+
+
+def test_measure_throughput_amortized():
+    # variance-controlled timing path: k_hi/k_lo chunk difference inside
+    # one jit each (PARITY §5's trusted method); smoke on the virtual mesh
+    n, d = 96, 4
+    s_arr, r_arr, _ = _coo(n, d, 4)
+    cfg = GiantConfig(
+        dim_embedding=8, hidden_dim=8, number_epochs=4,
+        epochs_per_call=2, log_every=2,
+    )
+    res = train_giant_graph(s_arr, r_arr, n, cfg, measure_throughput=True)
+    assert res["edges_per_s_amortized"] > 0
+    assert res["epoch_time_s_amortized"] > 0
+    assert "amortized" in res["timing_method"]
+    assert np.isfinite(res["timing_spread_s"])

@@ -258,3 +258,31 @@ def test_train_from_files_merges_datasets(tmp_path):
     assert best_loss < 0
     # loss scale reflects all 4 graphs (sum over graphs)
     assert len(history) == 5
+
+
+def test_cosine_lr_schedule_trains_and_validates(tiny_dataset):
+    # cosine schedule: trains end-to-end and the config round-trips
+    cfg = TrainingConfig(
+        n_nodes=32, number_epochs=6, epochs_per_call=3,
+        lr_schedule="cosine", lr_final_fraction=0.1, patience=100,
+    )
+    batch = _batch(tiny_dataset)
+    params, best, epoch, _, hist = train_model(batch, cfg)
+    assert len(hist) == 6 and np.isfinite(hist).all()
+    assert TrainingConfig.from_json(cfg.to_json()) == cfg
+    with pytest.raises(ValueError):
+        TrainingConfig(n_nodes=32, lr_schedule="linear")
+
+
+def test_cosine_schedule_decays_lr():
+    # the schedule horizon is number_epochs * steps_per_epoch
+    import optax
+
+    cfg = TrainingConfig(
+        n_nodes=32, number_epochs=10, learning_rate=1e-2,
+        lr_schedule="cosine", lr_final_fraction=0.0,
+    )
+    state = setup_train_state(cfg, steps_per_epoch=3)
+    sched = optax.cosine_decay_schedule(1e-2, decay_steps=30, alpha=0.0)
+    assert float(sched(0)) == pytest.approx(1e-2)
+    assert float(sched(30)) == pytest.approx(0.0, abs=1e-9)
