@@ -66,6 +66,11 @@ BLOCK = 8192
 def _kernel(offsets, B, Wp, F, n_blocks, variant, *refs):
     if variant.startswith("mxuall"):
         w_ref, g_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
+    elif variant == "cols":
+        D = len(offsets)
+        col_refs = refs[:D]
+        x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs[D:]
+        w_ref = None
     else:
         w_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
     i = pl.program_id(0)
@@ -87,10 +92,15 @@ def _kernel(offsets, B, Wp, F, n_blocks, variant, *refs):
 
     if variant == "fullw":
         w_blk = w_ref[pl.ds(pl.multiple_of(i * B, 8), B), :]
-    else:
+    elif w_ref is not None:
         w_blk = w_ref[:]
 
-    if variant in ("blockw", "fullw"):
+    if variant == "cols":
+        # per-offset weight columns arrive as separate [B, 1] blocks — no
+        # in-kernel lane extract, just broadcast + fma
+        for k, o in enumerate(offsets):
+            acc = acc + col_refs[k][:] * x_win[Wp + o : Wp + o + B, :]
+    elif variant in ("blockw", "fullw"):
         for k, o in enumerate(offsets):
             acc = acc + w_blk[:, k : k + 1] * x_win[Wp + o : Wp + o + B, :]
     elif variant == "hoist":
@@ -191,6 +201,32 @@ def weighted_variant(x, w, offsets, variant, block=BLOCK):
         w_spec = pl.BlockSpec(
             (block, w_in.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
+    elif variant == "cols":
+        D_ = w.shape[1]
+        cols = tuple(jnp.asarray(w[:, k : k + 1]) for k in range(D_))
+        col_specs = tuple(
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(D_)
+        )
+        kernel = functools.partial(
+            _kernel, tuple(offsets), block, Wp, F, n_blocks, variant
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=list(col_specs) + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(
+                (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, block + 2 * Wp, F), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+            ),
+        )(*cols, x, lo, hi)
     elif variant == "fullw":
         w_in = w
         w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -239,9 +275,9 @@ def main():
     print(f"unit        : {e / t:.3e} edges/s  ({100 * (e / t) / sol_unit:.1f}% SoL)", flush=True)
 
     cases = [
-        ("hybrid2", 8192), ("hybrid1", 8192), ("hybrid3", 8192),
-        ("hybrid2", 4096), ("hybrid2", 2048),
-        ("hybrid2", 8192), ("hybrid2", 8192),
+        ("cols", 8192), ("mxuall", 2048), ("blockw", 8192),
+        ("cols", 8192), ("mxuall", 2048), ("blockw", 8192),
+        ("cols", 4096), ("mxuall", 2048), ("cols", 8192),
     ]
     for variant, blk in cases:
         tag = f"{variant}@{blk}"

@@ -85,6 +85,11 @@ class Graph:
     bell_out_mask: jnp.ndarray | None = None       # f32 [o_pad]
     bell_block: int | None = struct.field(pytree_node=False, default=None)
     bell_wp: int | None = struct.field(pytree_node=False, default=None)
+    # Locality relabeling record (graph_from_edges(reorder=...)): node id
+    # ``i`` of the caller's original edge list lives at id
+    # ``reorder_perm[i]`` here.  Map per-node outputs back with
+    # ``out_original = out[reorder_perm]``.  None = ids untouched.
+    reorder_perm: jnp.ndarray | None = None        # int32 [n_pad]
 
     @property
     def n_pad(self) -> int:
@@ -227,32 +232,77 @@ def graph_from_edges(
     symmetrize: bool = True,
     ell_width: int | None = None,
     block_ell: bool | str = "auto",
+    reorder: str = "off",
 ) -> Graph:
     """Build a padded `Graph` from an undirected edge list.
 
     ``edges`` is a sequence of (u, v) pairs.  When ``symmetrize`` is True
     (the default, matching the reference's undirected NetworkX graphs fed
     through ``dgl.from_networkx``), both directions are stored.
+
+    ``reorder``: locality relabeling so general graphs ride the block-ELL
+    Pallas kernel (``ops/pallas_block_ell.py``, ~2x the gather path):
+
+      * ``"off"`` (default) — node ids untouched;
+      * ``"auto"`` — when a block-ELL plan is wanted (see ``block_ell``)
+        but the raw ordering doesn't band, try an RCM permutation
+        (``data/reorder.py``); kept only if it actually yields a plan.
+        Expanders (e.g. large random regular graphs) come back untouched;
+      * ``"rcm"`` — always apply the RCM permutation.
+
+    A kept permutation RELABELS node ids: original id ``i`` becomes
+    ``g.reorder_perm[i]`` (per-node outputs map back via
+    ``out[g.reorder_perm]``).  Callers with pinned special ids (terminals)
+    should instead reorder at the spec level — ``data.reorder.rcm_reorder``
+    + ``normalize_terminals`` — which keeps terminals on ids 0..2 (the few
+    band-breaking rows ride the plan's outlier COO list).
     """
+    if reorder not in ("off", "auto", "rcm"):
+        raise ValueError(f"unknown reorder {reorder!r}")
     e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     w = (
         np.ones(e.shape[0], dtype=np.float32)
         if weights is None
         else np.asarray(weights, dtype=np.float32)
     )
-    if symmetrize:
-        src = np.concatenate([e[:, 0], e[:, 1]])
-        dst = np.concatenate([e[:, 1], e[:, 0]])
-        w = np.concatenate([w, w])
-    else:
-        src, dst = e[:, 0], e[:, 1]
 
-    n_pad = n_pad if n_pad is not None else round_up(n_nodes, 8)
-    e_pad = e_pad if e_pad is not None else round_up(src.shape[0], 128)
-    return _build_padded_coo(
-        src.astype(np.int32), dst.astype(np.int32), w, n_nodes, n_pad, e_pad,
-        ell_width=ell_width, block_ell=block_ell,
-    )
+    def build(e2, perm=None):
+        if symmetrize:
+            src = np.concatenate([e2[:, 0], e2[:, 1]])
+            dst = np.concatenate([e2[:, 1], e2[:, 0]])
+            w2 = np.concatenate([w, w])
+        else:
+            src, dst = e2[:, 0], e2[:, 1]
+            w2 = w
+        np_ = n_pad if n_pad is not None else round_up(n_nodes, 8)
+        ep_ = e_pad if e_pad is not None else round_up(src.shape[0], 128)
+        g = _build_padded_coo(
+            src.astype(np.int32), dst.astype(np.int32), w2, n_nodes, np_,
+            ep_, ell_width=ell_width, block_ell=block_ell,
+        )
+        if perm is not None:
+            perm_pad = np.arange(np_, dtype=np.int32)
+            perm_pad[: perm.shape[0]] = perm
+            g = g.replace(reorder_perm=jnp.asarray(perm_pad))
+        return g
+
+    if reorder == "rcm" and n_nodes > 1 and e.size:
+        from gcn_maxcut_tpu.data.reorder import rcm_permutation
+
+        perm = rcm_permutation(e, n_nodes)
+        return build(perm[e], perm)
+    g = build(e)
+    if (
+        reorder == "auto" and g.bell_block is None and n_nodes > 1 and e.size
+        and (block_ell is True or (block_ell == "auto" and g.n_pad >= 4096))
+    ):
+        from gcn_maxcut_tpu.data.reorder import rcm_permutation
+
+        perm = rcm_permutation(e, n_nodes)
+        g2 = build(perm[e], perm)
+        if g2.bell_block is not None:
+            return g2
+    return g
 
 
 def graph_from_dense(

@@ -129,3 +129,65 @@ def test_plan_rejects_tiny_graphs():
     assert plan_block_ell(
         np.array([0, 1]), np.array([1, 0]), np.ones(2, np.float32), 512
     ) is None
+
+
+def test_reorder_auto_recovers_band_from_shuffled_ids():
+    # a banded graph whose node ids were randomly shuffled: raw edges span
+    # the whole id space, so no plan attaches — reorder="auto" RCM-relabels
+    # and recovers the kernel path (VERDICT r2 task #1's unbuilt bridge)
+    n = 2048
+    rng = np.random.default_rng(3)
+    base = _banded_graph(n=n, block_ell=True)
+    assert base.bell_block is not None
+
+    # shuffle ids of the same edge list
+    em = np.asarray(base.edge_mask) > 0
+    ue = np.stack(
+        [np.asarray(base.senders)[em], np.asarray(base.receivers)[em]], axis=1
+    )
+    ue = ue[ue[:, 0] < ue[:, 1]]                 # one direction
+    shuf = rng.permutation(n)
+    shuffled = shuf[ue]
+
+    g_off = graph_from_edges(shuffled, n, block_ell=True, reorder="off")
+    assert g_off.bell_block is None              # shuffled ids: no band
+    g_auto = graph_from_edges(shuffled, n, block_ell=True, reorder="auto")
+    assert g_auto.bell_block is not None         # RCM recovered the band
+    assert g_auto.reorder_perm is not None
+
+    # exactness: spmm on the relabeled graph == gather-path spmm on the
+    # shuffled graph, rows mapped through the stored permutation
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(n, 128)).astype(np.float32)
+    )
+    perm = np.asarray(g_auto.reorder_perm)       # old id -> new id
+    inv = np.argsort(perm)                       # new id -> old id
+    with pltpu.force_tpu_interpret_mode():
+        y_auto = np.asarray(spmm(g_auto, x[inv]))  # row j = original inv[j]
+    y_ref = np.asarray(spmm_ell(g_off, x))
+    np.testing.assert_allclose(y_auto[perm], y_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_reorder_auto_leaves_expander_untouched():
+    rng = np.random.default_rng(5)
+    n = 2048
+    edges = np.stack(
+        [np.repeat(np.arange(n), 3), rng.integers(0, n, 3 * n)], axis=1
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    g = graph_from_edges(edges, n, block_ell=True, reorder="auto")
+    assert g.bell_block is None and g.reorder_perm is None
+
+
+def test_reorder_rcm_explicit():
+    g = _banded_graph(block_ell=False)
+    em = np.asarray(g.edge_mask) > 0
+    ue = np.stack(
+        [np.asarray(g.senders)[em], np.asarray(g.receivers)[em]], axis=1
+    )
+    ue = ue[ue[:, 0] < ue[:, 1]]
+    g2 = graph_from_edges(ue, 2048, block_ell=False, reorder="rcm")
+    assert g2.reorder_perm is not None
+    assert int(np.asarray(g2.n_edges)) == int(np.asarray(g.n_edges))
+    with pytest.raises(ValueError):
+        graph_from_edges(ue, 2048, reorder="bogus")
