@@ -188,6 +188,16 @@ def weighted_variant(x, w, offsets, variant, block=BLOCK):
             g = np.zeros((D, D * F), np.float32)
             for k in range(D):
                 g[k, k * F : (k + 1) * F] = 1.0
+        elif variant == "mxuall3":
+            wh = w.astype(jnp.bfloat16)
+            r1 = w - wh.astype(jnp.float32)
+            wm = r1.astype(jnp.bfloat16)
+            wl = (r1 - wm.astype(jnp.float32)).astype(jnp.bfloat16)
+            w_in = jnp.concatenate([wh, wm, wl], axis=1)   # [n, 3D]
+            g = np.zeros((3 * D, D * F), np.float32)
+            for k in range(D):
+                for p in range(3):
+                    g[p * D + k, k * F : (k + 1) * F] = 1.0
         else:
             wh = w.astype(jnp.bfloat16)
             wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -275,9 +285,9 @@ def main():
     print(f"unit        : {e / t:.3e} edges/s  ({100 * (e / t) / sol_unit:.1f}% SoL)", flush=True)
 
     cases = [
-        ("cols", 8192), ("mxuall", 2048), ("blockw", 8192),
-        ("cols", 8192), ("mxuall", 2048), ("blockw", 8192),
-        ("cols", 4096), ("mxuall", 2048), ("cols", 8192),
+        ("mxuall3", 2048), ("mxuall", 2048),
+        ("mxuall3", 2048), ("mxuall", 2048),
+        ("mxuall3", 4096), ("mxuall3", 2048),
     ]
     for variant, blk in cases:
         tag = f"{variant}@{blk}"

@@ -88,6 +88,17 @@ def _auto_block(rows: int, width: int, wp: int) -> int | None:
     return _pick_block(rows, target=min(8192, cap, steps))
 
 
+def _auto_block_weighted(rows: int, width: int, d: int, wp: int) -> int | None:
+    """Block size for the weighted "mxu" path: the [B, D·F] broadcast slab
+    joins the window buffers in scoped VMEM, and 2048 measured the sweet
+    spot (54.8% SoL-w vs 54.0% at 4096; larger OOMs the slab)."""
+    budget = 64 * 1024 * 1024
+    per_row = 48 * max(width, 1) + 4 * d * max(width, 1) + 6 * d + 64
+    cap = max(8, (budget // per_row - wp) // 8 * 8)
+    steps = max(8, rows // 8 // 8 * 8)
+    return _pick_block(rows, target=min(2048, cap, steps))
+
+
 def _window_plan(x_hbm, lo_hbm, hi_hbm, scratch, sems, B, Wp, n_blocks):
     """(start, wait) closures streaming [B + 2Wp, width] windows.
 
@@ -180,11 +191,26 @@ def _fused_window_kernel(offsets, B, Wp, F, n_blocks, weighted, *refs):
     """Double-buffered fused-window circulant SpMM body (unit or weighted).
 
     Grid step i computes y rows [iB, iB+B) from the [iB-Wp, iB+B+Wp)
-    window; the DMA for block i+1 overlaps block i's compute.  The weighted
-    multiply broadcasts each w column across lanes via a rank-1 MXU outer
-    product (measured 47% vs 40% SoL for the vector-broadcast form).
+    window; the DMA for block i+1 overlaps block i's compute.
+
+    ``weighted`` modes (measured on v5e, n=131k d=8 W=63 F=128, SoL-w
+    = read x + w + write y at 819 GB/s):
+      * ``"mxu"`` (default): ONE matmul per block builds ALL D lane
+        broadcasts — [B, 3D] (hi|mid|lo bf16 split of w, exact to ~2^-24)
+        @ [3D, D·F] block-diagonal ones → [B, D·F] f32 — so the fma loop
+        matches the unit kernel's VPU cost.  3.4e9 edges/s ≈ 55% SoL-w,
+        stable across tunnel-speed runs (MXU-bound, not DMA-bound).
+      * ``"vpu"``: per-offset lane broadcast of the f32 w column; bit-exact
+        but ~3 VPU ops per vreg (extract + broadcast + fma): 2.4e9 ≈ 40%.
+        Measured alternatives that lost: rank-1 MXU per offset (52% bf16 /
+        49% hi-lo), MXU/VPU offset splits (39-49%, one 70% outlier that
+        did not reproduce), per-column [B,1] inputs (fails to compile),
+        whole-w VMEM residency (scoped-vmem OOM).  Matrix of 12 variants:
+        experiments/weighted_probe.py.
     """
-    if weighted:
+    if weighted == "mxu":
+        w_ref, g_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
+    elif weighted:
         w_ref, x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
     else:
         x_hbm, lo_hbm, hi_hbm, out_ref, scratch, sems = refs
@@ -207,11 +233,15 @@ def _fused_window_kernel(offsets, B, Wp, F, n_blocks, weighted, *refs):
 
     x_win = scratch[slot]                      # [B + 2Wp, F]
     acc = jnp.zeros((B, F), jnp.float32)
-    if weighted:
-        # exact VPU broadcast.  An MXU rank-1 outer product (w_col @ ones)
-        # measured faster (47% vs 41% SoL) but truncates w to bf16 at
-        # default matmul precision (0.4% rel error) and OOMs scoped VMEM at
-        # HIGHEST precision — exactness wins for a framework primitive.
+    if weighted == "mxu":
+        bw = jax.lax.dot_general(               # [B, D*F] all broadcasts
+            w_ref[:], g_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for k, o in enumerate(offsets):
+            acc = acc + bw[:, k * F : (k + 1) * F] * x_win[Wp + o : Wp + o + B, :]
+    elif weighted:
         for k, o in enumerate(offsets):        # static unrolled shifts
             acc = acc + w_ref[:, k : k + 1] * x_win[Wp + o : Wp + o + B, :]
     else:
@@ -220,26 +250,57 @@ def _fused_window_kernel(offsets, B, Wp, F, n_blocks, weighted, *refs):
     out_ref[:] = acc
 
 
-def _fused_pallas_call(x, w, offsets, block):
+def _fused_pallas_call(x, w, offsets, block, weighted_mode: str = "mxu"):
     """Shared pallas_call builder for the row-window kernels; ``w`` is None
     for the unit variant.  Returns None if the shape can't ride the kernel
-    (caller falls back to XLA rolls)."""
+    (caller falls back to XLA rolls).  ``weighted_mode``: "mxu" (default,
+    one broadcast matmul per block) or "vpu" (bit-exact lane broadcasts) —
+    see ``_fused_window_kernel``."""
     n, F = x.shape
     W = int(max(abs(o) for o in offsets))
     Wp = (W + 7) // 8 * 8
-    blk = block if block is not None else _auto_block(n, F, Wp)
+    weighted = w is not None
+    if block is not None:
+        blk = block
+    elif weighted and weighted_mode == "mxu":
+        blk = _auto_block_weighted(n, F, w.shape[1], Wp)
+    else:
+        blk = _auto_block(n, F, Wp)
     if blk is None or n % blk or Wp > blk or Wp > n:
         return None
     n_blocks = n // blk
     lo = x[n - Wp :]
     hi = x[:Wp]
-    weighted = w is not None
     kernel = functools.partial(
-        _fused_window_kernel, tuple(offsets), blk, Wp, F, n_blocks, weighted
+        _fused_window_kernel, tuple(offsets), blk, Wp, F, n_blocks,
+        weighted_mode if weighted else False,
     )
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     args = (x, lo, hi)
-    if weighted:
+    if weighted and weighted_mode == "mxu":
+        D = w.shape[1]
+        # exact-to-~2^-24 three-way bf16 split of w, built once per call.
+        # The optimization_barrier is LOAD-BEARING: XLA (with
+        # --xla_allow_excess_precision, set in this TPU env) elides the
+        # bf16->f32 cast round-trip on traced inputs, silently collapsing
+        # the split to plain bf16 truncation (measured: rel err 2e-3
+        # instead of 0 on the real device; interpret mode does not elide,
+        # so only a hardware run catches it).
+        wh = jax.lax.optimization_barrier(w.astype(jnp.bfloat16))
+        r1 = w - wh.astype(jnp.float32)
+        wm = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+        wl = (r1 - wm.astype(jnp.float32)).astype(jnp.bfloat16)
+        w3 = jnp.concatenate([wh, wm, wl], axis=1)           # [n, 3D]
+        gmat = jnp.tile(
+            jnp.repeat(jnp.eye(D, dtype=jnp.float32), F, axis=1), (3, 1)
+        ).astype(jnp.bfloat16)                               # [3D, D*F]
+        in_specs = [
+            pl.BlockSpec((blk, 3 * D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + in_specs
+        args = (w3, gmat, x, lo, hi)
+    elif weighted:
         D = w.shape[1]
         in_specs = [
             pl.BlockSpec((blk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -263,12 +324,13 @@ def _fused_pallas_call(x, w, offsets, block):
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "block"))
+@functools.partial(jax.jit, static_argnames=("offsets", "block", "mode"))
 def _banded_spmm_raw(
     x: jnp.ndarray,
     w: jnp.ndarray,
     offsets: tuple[int, ...],
     block: int | None = None,
+    mode: str = "mxu",
 ) -> jnp.ndarray:
     n, F = x.shape
     W = int(max(abs(o) for o in offsets))
@@ -283,32 +345,35 @@ def _banded_spmm_raw(
         raise ValueError(f"bandwidth {W} exceeds n={n}")
     if block is not None and W > block:
         raise ValueError(f"bandwidth {W} must be <= block={block}")
-    out = _fused_pallas_call(x, w, offsets, block)
+    out = _fused_pallas_call(x, w, offsets, block, weighted_mode=mode)
     return out if out is not None else banded_spmm_xla(x, w, offsets)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def banded_spmm(
     x: jnp.ndarray,
     w: jnp.ndarray,
     offsets: tuple[int, ...],
     block: int | None = None,
+    mode: str = "mxu",
 ) -> jnp.ndarray:
     """y[i] = Σ_k w[i, k] · x[(i + o_k) mod n]   (Pallas streaming kernel).
 
     ``x``: [n, F] features; ``w``: [n, D] per-row shift weights (use zeros
     to mask padded rows); ``offsets``: static shift tuple.  ``block`` is
     auto-picked from n and the VMEM budget when None.  Differentiable in
-    x and w.
+    x and w.  ``mode``: "mxu" (default, ~55% of stream SoL, weights exact
+    to ~2^-24 via a three-way bf16 split) or "vpu" (bit-exact f32 weights,
+    ~40%) — see ``_fused_window_kernel``.
     """
-    return _banded_spmm_raw(x, w, offsets, block)
+    return _banded_spmm_raw(x, w, offsets, block, mode)
 
 
-def _banded_fwd(x, w, offsets, block):
-    return _banded_spmm_raw(x, w, offsets, block), (x, w)
+def _banded_fwd(x, w, offsets, block, mode):
+    return _banded_spmm_raw(x, w, offsets, block, mode), (x, w)
 
 
-def _banded_bwd(offsets, block, res, dy):
+def _banded_bwd(offsets, block, mode, res, dy):
     x, w = res
     # transpose: y = Σ_k diag(w_k) S_{o_k} x  ⇒  Aᵀ = Σ_k S_{-o_k} diag(w_k);
     # (Aᵀ dy)[i] = Σ_k w_k[(i + o_k)] · dy[(i + o_k)]  with offsets as-is is
@@ -319,7 +384,7 @@ def _banded_bwd(offsets, block, res, dy):
     w_t = jnp.stack(
         [jnp.roll(w[:, k], o) for k, o in enumerate(offsets)], axis=1
     )
-    dx = _banded_spmm_raw(dy, w_t, neg, block)
+    dx = _banded_spmm_raw(dy, w_t, neg, block, mode)
     # dL/dw[i, k] = dy[i] · x[(i + o_k)]
     dw = jnp.stack(
         [jnp.sum(dy * jnp.roll(x, -o, axis=0), axis=1) for o in offsets],

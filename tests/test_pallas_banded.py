@@ -203,3 +203,84 @@ def test_banded_spmm_explicit_block_still_validated():
 
     with _pt.raises(ValueError, match="multiple"):
         banded_spmm_unit(jnp.ones((100, 128)), (1, -1), 64)
+
+
+def test_weighted_mxu_mode_matches_vpu_mode():
+    # the default "mxu" weighted path (3-way bf16 split broadcast matmul)
+    # must agree with the bit-exact "vpu" lane-broadcast form to ~2^-24
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm, banded_spmm_xla
+
+    n, F = 1024, 128
+    offsets = (3, -3, 17, -17)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, F)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.25, 4.0, size=(n, 4)).astype(np.float32))
+    ref = banded_spmm_xla(x, w, offsets)
+    with pltpu.force_tpu_interpret_mode():
+        y_mxu = banded_spmm(x, w, offsets, 128, "mxu")
+        y_vpu = banded_spmm(x, w, offsets, 128, "vpu")
+    np.testing.assert_allclose(
+        np.asarray(y_vpu), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_mxu), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    # weight-splitting error specifically (mxu vs vpu shares the summation
+    # order, so this isolates the 3-way bf16 split): under 1e-6 relative
+    rel = np.max(np.abs(np.asarray(y_mxu) - np.asarray(y_vpu))) / np.max(
+        np.abs(np.asarray(ref))
+    )
+    assert rel < 1e-6, rel
+
+
+def test_weighted_gradient_both_modes():
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm, banded_spmm_xla
+
+    n, F = 512, 128
+    offsets = (5, -5)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(n, F)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.5, 1.5, size=(n, 2)).astype(np.float32))
+
+    def loss(fn):
+        return lambda x_, w_: jnp.sum(fn(x_, w_) ** 2)
+
+    gx_ref, gw_ref = jax.grad(
+        loss(lambda a, b: banded_spmm_xla(a, b, offsets)), argnums=(0, 1)
+    )(x, w)
+    with pltpu.force_tpu_interpret_mode():
+        for mode in ("mxu", "vpu"):
+            gx, gw = jax.grad(
+                loss(lambda a, b: banded_spmm(a, b, offsets, 64, mode)),
+                argnums=(0, 1),
+            )(x, w)
+            np.testing.assert_allclose(
+                np.asarray(gx), np.asarray(gx_ref), rtol=2e-5, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(gw), np.asarray(gw_ref), rtol=2e-5, atol=1e-5
+            )
+
+
+def test_weighted_mxu_split_barrier_survives_lowering():
+    # XLA with --xla_allow_excess_precision (set in the TPU env) elides
+    # bf16->f32 cast round-trips on traced inputs, silently collapsing the
+    # 3-way weight split to bf16 truncation (caught on hardware: rel err
+    # 2e-3).  The optimization_barrier prevents that; assert it is present
+    # in the traced jaxpr so a refactor can't drop it (the TPU pallas call
+    # itself cannot lower on the CPU backend, so trace under interpret).
+    from gcn_maxcut_tpu.ops.pallas_banded import _banded_spmm_raw
+
+    n, F = 256, 128
+    offsets = (3, -3)
+    x = jnp.zeros((n, F), jnp.float32)
+    w = jnp.zeros((n, 2), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        jaxpr = jax.make_jaxpr(
+            lambda a, b: _banded_spmm_raw(a, b, offsets, 64, "mxu")
+        )(x, w)
+    assert "optimization_barrier" in str(jaxpr)
