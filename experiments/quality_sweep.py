@@ -51,6 +51,29 @@ VARIANTS = {
               "train_kwargs": {"number_epochs": 2000, "patience": 60,
                                "tolerance": 0.0, "epochs_per_call": 25,
                                "lr_schedule": "cosine", "restarts": 3}},
+    # Entropy bonus: reward per-node entropy so the 200-rollout sampled
+    # decode (best-of-N) gets variance to exploit (train/loop._graph_loss).
+    "ent02": {"train_kwargs": {"entropy_weight": 0.2}},
+    "ent05": {"train_kwargs": {"entropy_weight": 0.5}},
+    "ent1": {"train_kwargs": {"entropy_weight": 1.0}},
+    "ent2": {"train_kwargs": {"entropy_weight": 2.0}},
+    "ent05_restarts": {"train_kwargs": {"entropy_weight": 0.5, "restarts": 3}},
+    "big16": {"train_graphs_per_size": 16,
+              "train_kwargs": {"number_epochs": 2000, "patience": 60,
+                               "tolerance": 0.0, "epochs_per_call": 25}},
+    "big_ent02": {"train_graphs_per_size": 8,
+                  "train_kwargs": {"number_epochs": 2000, "patience": 60,
+                                   "tolerance": 0.0, "epochs_per_call": 25,
+                                   "entropy_weight": 0.2}},
+    "big_ent05": {"train_graphs_per_size": 8,
+                  "train_kwargs": {"number_epochs": 2000, "patience": 60,
+                                   "tolerance": 0.0, "epochs_per_call": 25,
+                                   "entropy_weight": 0.5}},
+    "big16_ent05_restarts": {
+        "train_graphs_per_size": 16,
+        "train_kwargs": {"number_epochs": 2000, "patience": 60,
+                         "tolerance": 0.0, "epochs_per_call": 25,
+                         "entropy_weight": 0.5, "restarts": 3}},
 }
 
 

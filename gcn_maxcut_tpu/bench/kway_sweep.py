@@ -67,7 +67,9 @@ def kway_sweep(
             log_every=max(1, epochs // 4),
         )
         t0 = time.perf_counter()
-        out = train_giant_graph(src, dst, n, cfg, mesh=mesh)
+        out = train_giant_graph(
+            src, dst, n, cfg, mesh=mesh, measure_throughput=True
+        )
         res = {
             "k": int(k),
             "n": n,
@@ -76,13 +78,18 @@ def kway_sweep(
             "cut_fraction": out["final_cut"] / total_edges,
             "random_fraction": (k - 1) / k,
             "edges_per_s": out["edges_per_s"],
+            "edges_per_s_amortized": out.get("edges_per_s_amortized"),
+            "epoch_time_s_amortized": out.get("epoch_time_s_amortized"),
+            "timing_spread_s": out.get("timing_spread_s"),
             "train_time_s": time.perf_counter() - t0,
             "num_shards": out["num_shards"],
         }
         logger.info(
-            "k=%d: cut %.0f/%d (%.1f%%; random floor %.1f%%), %.2e edges/s",
+            "k=%d: cut %.0f/%d (%.1f%%; random floor %.1f%%), "
+            "%.2e edges/s (amortized %.2e)",
             k, res["final_cut"], total_edges, 100 * res["cut_fraction"],
             100 * res["random_fraction"], res["edges_per_s"],
+            res["edges_per_s_amortized"] or 0.0,
         )
         results.append(res)
     return results

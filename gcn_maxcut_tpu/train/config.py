@@ -62,6 +62,15 @@ class TrainingConfig:
                                            # reference lacks; quality suite
                                            # measures its effect)
     lr_final_fraction: float = 0.05
+    entropy_weight: float = 0.0            # > 0 adds -w * Σ_real H(p_i) to
+                                           # the loss: keeps the learned
+                                           # distribution diverse so the
+                                           # 200-rollout sampled decode
+                                           # (best-of-N) explores a wider
+                                           # neighborhood of the argmax — a
+                                           # training-recipe lever aimed at
+                                           # the post-vs-randomized gate
+                                           # (decode contract untouched)
     aggregation: str = "auto"              # "auto" | "sparse" | "dense":
                                            # dense = neighborhood aggregation
                                            # as an n_pad x n_pad MXU matmul

@@ -169,7 +169,7 @@ def _graph_loss(
     )
     pinned = pin_terminals(probs)
     onehot = ste_argmax_onehot(pinned)
-    return compute_loss(
+    loss = compute_loss(
         g,
         onehot,
         A=config.A,
@@ -177,6 +177,14 @@ def _graph_loss(
         penalty=config.penalty if config.use_penalty else 0.0,
         num_terminals=3,
     )
+    if config.entropy_weight:
+        # Best-of-N sampled decode improves with sampling variance: reward
+        # per-node entropy over real nodes (pinned terminals are one-hot and
+        # contribute zero).  The STE cut term keeps the argmax good while
+        # this term keeps the distribution around it diverse.
+        ent = -jnp.sum(pinned * jnp.log(pinned + 1e-12), axis=-1)
+        loss = loss - config.entropy_weight * jnp.sum(ent * g.node_mask)
+    return loss
 
 
 def make_epoch_fn(

@@ -286,3 +286,29 @@ def test_cosine_schedule_decays_lr():
     sched = optax.cosine_decay_schedule(1e-2, decay_steps=30, alpha=0.0)
     assert float(sched(0)) == pytest.approx(1e-2)
     assert float(sched(30)) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_entropy_weight_lever(tiny_dataset):
+    """entropy_weight > 0 trains end-to-end and raises the mean per-node
+    entropy of the learned distribution vs the plain recipe (the lever's
+    whole point: give the 200-rollout sampled decode variance to exploit)."""
+    from gcn_maxcut_tpu.eval.harness import _forward
+
+    batch = _batch(tiny_dataset)
+    ents = {}
+    for w in (0.0, 2.0):
+        cfg = TrainingConfig(
+            n_nodes=32, number_epochs=40, epochs_per_call=10,
+            patience=100, entropy_weight=w, seed=3,
+        )
+        params, best, epoch, _, hist = train_model(batch, cfg)
+        assert np.isfinite(hist).all()
+        g = tiny_dataset.graphs[sorted(tiny_dataset.graphs)[0]]
+        probs = np.asarray(_forward(params, g))
+        ent = -(probs * np.log(probs + 1e-12)).sum(-1)
+        ents[w] = float((ent * np.asarray(g.node_mask)).sum()
+                        / float(np.asarray(g.node_mask).sum()))
+    assert ents[2.0] > ents[0.0]
+    assert TrainingConfig.from_json(
+        TrainingConfig(n_nodes=32, entropy_weight=0.5).to_json()
+    ).entropy_weight == 0.5
