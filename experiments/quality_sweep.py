@@ -69,6 +69,18 @@ VARIANTS = {
                   "train_kwargs": {"number_epochs": 2000, "patience": 60,
                                    "tolerance": 0.0, "epochs_per_call": 25,
                                    "entropy_weight": 0.5}},
+    # Quantile loss: train directly on mean + c*std of the sampled decode
+    # (objectives.quantile_cut_loss) — the best-of-200 objective itself.
+    "quant": {"train_kwargs": {"loss_mode": "quantile"}},
+    "quant_big": {"train_graphs_per_size": 8,
+                  "train_kwargs": {"loss_mode": "quantile",
+                                   "number_epochs": 2000, "patience": 60,
+                                   "tolerance": 0.0, "epochs_per_call": 25}},
+    "quant_big_restarts": {
+        "train_graphs_per_size": 8,
+        "train_kwargs": {"loss_mode": "quantile", "restarts": 3,
+                         "number_epochs": 2000, "patience": 60,
+                         "tolerance": 0.0, "epochs_per_call": 25}},
     "big16_ent05_restarts": {
         "train_graphs_per_size": 16,
         "train_kwargs": {"number_epochs": 2000, "patience": 60,

@@ -2,6 +2,8 @@ from gcn_maxcut_tpu.objectives.cut_loss import (
     relaxed_cut_value,
     cut_loss,
     compute_loss,
+    sampled_cut_stats,
+    quantile_cut_loss,
     terminal_independence_penalty,
     balance_penalty,
     find_ac_parameters,
@@ -13,6 +15,8 @@ __all__ = [
     "relaxed_cut_value",
     "cut_loss",
     "compute_loss",
+    "sampled_cut_stats",
+    "quantile_cut_loss",
     "terminal_independence_penalty",
     "balance_penalty",
     "find_ac_parameters",

@@ -39,6 +39,44 @@ def relaxed_cut_value(g: Graph, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(per_edge) / 2.0                  # directed edges double-count
 
 
+def sampled_cut_stats(g: Graph, s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean, variance) of the cut under independent per-node sampling.
+
+    The 200-rollout decode (``eval/decode.post_process``, reference
+    ``NeuralTestCode.py`` post-processing) draws each node's class
+    independently from its probability row, so the sampled cut has
+    closed-form statistics: per undirected edge the crossing indicator is
+    Bernoulli(p_e) with ``p_e = 1 - <s_u, s_v>``, giving
+
+        mean = Σ_e w_e p_e          variance ≈ Σ_e w_e² p_e (1 - p_e)
+
+    (covariance between edges sharing a node is dropped — exact for
+    uniform rows, small otherwise).  Both reduce over the directed edge
+    list with the ½ correction, same as :func:`relaxed_cut_value`.
+    """
+    same = sddmm(g, s, s)                           # [e_pad], <s_u, s_v>
+    pe = (1.0 - same) * g.edge_mask                 # crossing prob, masked
+    mean = jnp.sum(g.weights * pe) / 2.0
+    var = jnp.sum(g.weights ** 2 * pe * same) / 2.0  # p(1-p), mask via pe
+    return mean, var
+
+
+def quantile_cut_loss(
+    g: Graph, s: jnp.ndarray, c: float = 2.6, C: float = 1.0
+) -> jnp.ndarray:
+    """loss = -C · (mean + c·std) of the sampled-decode cut.
+
+    Trains the network for what the deployed decode actually reports —
+    the best of N sampled assignments, whose expectation is ≈ mean +
+    E[max of N standard normals]·std (c ≈ 2.6 for N = 200).  Unlike the
+    STE argmax loss this rewards distributions that are *good on average
+    and diverse where diversity is cheap* (near-tied nodes), which is
+    exactly the slack the best-of-N decode exploits.
+    """
+    mean, var = sampled_cut_stats(g, s)
+    return -C * (mean + c * jnp.sqrt(var + 1e-9))
+
+
 def cut_loss(g: Graph, s: jnp.ndarray, C: float = 1.0) -> jnp.ndarray:
     """loss = C · (−HC): maximizing the cut by gradient descent."""
     return C * (-relaxed_cut_value(g, s))

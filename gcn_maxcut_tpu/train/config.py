@@ -62,6 +62,14 @@ class TrainingConfig:
                                            # reference lacks; quality suite
                                            # measures its effect)
     lr_final_fraction: float = 0.05
+    loss_mode: str = "ste"                 # "ste" (reference parity: STE
+                                           # argmax hard-cut loss) |
+                                           # "quantile" (train on mean +
+                                           # quantile_c * std of the sampled
+                                           # decode's cut — the closed-form
+                                           # best-of-N objective; see
+                                           # objectives.quantile_cut_loss)
+    quantile_c: float = 2.6                # ~E[max of 200 std normals]
     entropy_weight: float = 0.0            # > 0 adds -w * Σ_real H(p_i) to
                                            # the loss: keeps the learned
                                            # distribution diverse so the
@@ -93,6 +101,8 @@ class TrainingConfig:
             raise ValueError(f"unknown step_mode {self.step_mode!r}")
         if self.lr_schedule not in ("constant", "cosine"):
             raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
+        if self.loss_mode not in ("ste", "quantile"):
+            raise ValueError(f"unknown loss_mode {self.loss_mode!r}")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -46,7 +46,11 @@ from gcn_maxcut_tpu.models.gcn import (
     gcn_softmax_apply,
     gcn_softmax_init,
 )
-from gcn_maxcut_tpu.objectives.cut_loss import compute_loss
+from gcn_maxcut_tpu.objectives.cut_loss import (
+    compute_loss,
+    quantile_cut_loss,
+    terminal_independence_penalty,
+)
 from gcn_maxcut_tpu.ops.ste import pin_terminals, ste_argmax_onehot
 from gcn_maxcut_tpu.train.checkpoint import checkpoint_name, save_checkpoint
 from gcn_maxcut_tpu.train.config import TrainingConfig
@@ -168,15 +172,23 @@ def _graph_loss(
         a_dense=a_mask,
     )
     pinned = pin_terminals(probs)
-    onehot = ste_argmax_onehot(pinned)
-    loss = compute_loss(
-        g,
-        onehot,
-        A=config.A,
-        C=config.C,
-        penalty=config.penalty if config.use_penalty else 0.0,
-        num_terminals=3,
-    )
+    if config.loss_mode == "quantile":
+        # train on the sampled decode's best-of-N objective (mean + c·std)
+        loss = quantile_cut_loss(g, pinned, c=config.quantile_c, C=config.C)
+        if config.use_penalty:
+            loss = loss + config.penalty * terminal_independence_penalty(
+                pinned, 3
+            )
+    else:
+        onehot = ste_argmax_onehot(pinned)
+        loss = compute_loss(
+            g,
+            onehot,
+            A=config.A,
+            C=config.C,
+            penalty=config.penalty if config.use_penalty else 0.0,
+            num_terminals=3,
+        )
     if config.entropy_weight:
         # Best-of-N sampled decode improves with sampling variance: reward
         # per-node entropy over real nodes (pinned terminals are one-hot and

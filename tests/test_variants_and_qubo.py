@@ -137,3 +137,60 @@ def test_metrics_logger(tmp_path):
     lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
     assert len(lines) == 2
     assert ml.edges_per_s(100) > 0
+
+
+def test_sampled_cut_stats_match_monte_carlo():
+    """Closed-form (mean, var) of the sampled-decode cut vs 40k Monte-Carlo
+    rollouts of the same independent per-node sampling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gcn_maxcut_tpu.data.generate import generate_graph
+    from gcn_maxcut_tpu.data.process import process_graphs, DataConfig
+    from gcn_maxcut_tpu.objectives import sampled_cut_stats, hard_cut_value
+
+    ds = process_graphs(
+        [generate_graph(n=24, d=4, graph_type="reg", seed=5)],
+        DataConfig(max_nodes=32),
+    )
+    g = ds.graphs[0]
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (g.n_pad, 3))
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    mean, var = sampled_cut_stats(g, probs)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 40_000)
+    asn = jax.vmap(
+        lambda k: jax.random.categorical(k, jnp.log(probs + 1e-12), axis=-1)
+    )(ks)
+    cuts = np.asarray(jax.vmap(lambda a: hard_cut_value(g, a))(asn))
+    np.testing.assert_allclose(float(mean), cuts.mean(), rtol=0.01)
+    # variance: covariance between edges sharing a node is dropped in the
+    # closed form, so allow a looser band
+    assert 0.6 * cuts.var() < float(var) < 1.6 * cuts.var()
+
+
+def test_quantile_loss_mode_trains():
+    import numpy as np
+    from gcn_maxcut_tpu.data.generate import generate_graph
+    from gcn_maxcut_tpu.data.process import process_graphs, DataConfig
+    from gcn_maxcut_tpu.train.config import TrainingConfig
+    from gcn_maxcut_tpu.train.loop import train_model, pad_graph_batch
+
+    ds = process_graphs(
+        [generate_graph(n=24, d=4, graph_type="reg", seed=7)],
+        DataConfig(max_nodes=32),
+    )
+    batch = pad_graph_batch([ds.graphs[0]])
+    cfg = TrainingConfig(
+        n_nodes=32, number_epochs=60, epochs_per_call=20, patience=100,
+        loss_mode="quantile", seed=2,
+    )
+    params, best, epoch, _, hist = train_model(batch, cfg)
+    assert np.isfinite(hist).all()
+    # mean+c*std of the final model is well above the uniform-random mean
+    assert -best > 2.0 / 3.0 * 48  # E = 24*4/2 = 48
+    import pytest
+    with pytest.raises(ValueError):
+        TrainingConfig(n_nodes=32, loss_mode="bogus")
