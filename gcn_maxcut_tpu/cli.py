@@ -69,6 +69,10 @@ def _cmd_train(args) -> int:
         patience=args.patience,
         save_frequency=args.save_frequency,
         seed=args.seed,
+        loss_mode=args.loss_mode,
+        quantile_c=args.quantile_c,
+        entropy_weight=args.entropy_weight,
+        lr_schedule=args.lr_schedule,
     )
     print(
         json.dumps(
@@ -350,6 +354,19 @@ def main(argv=None) -> int:
     t.add_argument("--patience", type=int, default=20)
     t.add_argument("--save-frequency", type=int, default=100)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument(
+        "--loss-mode", default="ste", choices=("ste", "quantile"),
+        help="ste = reference-parity STE argmax loss; quantile = train on "
+             "mean + c*std of the sampled decode (best-of-N objective)",
+    )
+    t.add_argument("--quantile-c", type=float, default=2.6)
+    t.add_argument(
+        "--entropy-weight", type=float, default=0.0,
+        help="reward per-node entropy (sampled-decode diversity lever)",
+    )
+    t.add_argument(
+        "--lr-schedule", default="constant", choices=("constant", "cosine"),
+    )
     t.add_argument(
         "--metrics", default=None,
         help="write per-epoch JSONL metrics (loss, step time) to this path",
