@@ -22,7 +22,7 @@ if os.environ.get("PROBE_CHILD") != "1" and __name__ == "__main__":
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
                 env=dict(os.environ, PROBE_CHILD="1"),
-                timeout=3000,
+                timeout=int(os.environ.get("SWEEP_TIMEOUT", "1200")),
             ).returncode
         except subprocess.TimeoutExpired:
             print(f"[sweep] attempt {attempt} timed out; retrying", flush=True)
