@@ -58,6 +58,21 @@ VARIANTS = {
     "ent1": {"train_kwargs": {"entropy_weight": 1.0}},
     "ent2": {"train_kwargs": {"entropy_weight": 2.0}},
     "ent05_restarts": {"train_kwargs": {"entropy_weight": 0.5, "restarts": 3}},
+    "ent04": {"train_kwargs": {"entropy_weight": 0.4}},
+    "ent06": {"train_kwargs": {"entropy_weight": 0.6}},
+    "ent07": {"train_kwargs": {"entropy_weight": 0.7}},
+    "big_ent04": {"train_graphs_per_size": 8,
+                  "train_kwargs": {"number_epochs": 2000, "patience": 60,
+                                   "tolerance": 0.0, "epochs_per_call": 25,
+                                   "entropy_weight": 0.4}},
+    "big_ent06": {"train_graphs_per_size": 8,
+                  "train_kwargs": {"number_epochs": 2000, "patience": 60,
+                                   "tolerance": 0.0, "epochs_per_call": 25,
+                                   "entropy_weight": 0.6}},
+    "big16_ent05": {"train_graphs_per_size": 16,
+                    "train_kwargs": {"number_epochs": 2000, "patience": 60,
+                                     "tolerance": 0.0, "epochs_per_call": 25,
+                                     "entropy_weight": 0.5}},
     "big16": {"train_graphs_per_size": 16,
               "train_kwargs": {"number_epochs": 2000, "patience": 60,
                                "tolerance": 0.0, "epochs_per_call": 25}},
