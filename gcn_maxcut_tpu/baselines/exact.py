@@ -220,6 +220,7 @@ def anytime_solver(
     exact_threshold: int = 18,
     sa_steps: int = 20_000,
     batch_restarts: int | None = None,
+    solution_limit: int | None = None,
 ) -> Dict[str, object]:
     """CPLEX ``cplex_solver`` replacement (same call shape, :93-188).
 
@@ -229,6 +230,12 @@ def anytime_solver(
     graph size, ≥8) instead of round 1's one-chain-per-host-round-trip loop.
     Returns a dict with ``assignment``, ``cut_value``, ``solve_time``,
     ``method``, ``restarts``.
+
+    ``solution_limit``: stop after this many feasible solutions (each SA
+    chain yields one) — the CPLEX ``SolutionLimit`` analog (the reference
+    sets TimeLimit 300 + SolutionLimit 100, ``CplexCode.py:139-144``).
+    ``None`` (default) = time-limited only, the stronger denominator used
+    by the quality suites.
     """
     n = int(g.n_nodes)
     t0 = time.perf_counter()
@@ -251,6 +258,8 @@ def anytime_solver(
     best_cut, best_asn = -np.inf, None
     restarts = 0
     while time.perf_counter() - t0 < time_limit:
+        if solution_limit is not None and restarts >= solution_limit:
+            break
         key, sub = jax.random.split(key)
         asn, cut = _sa_restart_batch(
             g, sub, k, num_fixed, sa_steps, batch_restarts

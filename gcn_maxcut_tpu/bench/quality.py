@@ -113,7 +113,10 @@ def _train(specs, max_nodes: int, restarts: int = 1, **cfg_kwargs) -> Any:
     batch = pad_graph_batch([ds.graphs[k] for k in sorted(ds.graphs)])
     base_seed = cfg_kwargs.pop("seed", 0)
     t0 = time.perf_counter()
+    import math
+
     best_params, best_loss = None, float("inf")
+    last_params = None
     for r in range(max(1, restarts)):
         cfg = TrainingConfig(n_nodes=max_nodes, seed=base_seed + r, **cfg_kwargs)
         params, best, epoch, _, hist = train_model(batch, cfg)
@@ -121,8 +124,17 @@ def _train(specs, max_nodes: int, restarts: int = 1, **cfg_kwargs) -> Any:
             "restart %d: trained %d graphs, best %.0f at epoch %d (%.1fs cum)",
             r, len(specs), best, epoch, time.perf_counter() - t0,
         )
-        if best < best_loss:
+        last_params = params
+        # NaN < inf is False, so an all-NaN sweep would otherwise return
+        # None and crash far from the cause — guard on finiteness.
+        if math.isfinite(best) and best < best_loss:
             best_params, best_loss = params, best
+    if best_params is None:
+        logger.warning(
+            "_train: no restart reached a finite best loss (%d restarts); "
+            "falling back to the last restart's params", max(1, restarts),
+        )
+        best_params = last_params
     return best_params
 
 

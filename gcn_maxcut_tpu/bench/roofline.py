@@ -9,9 +9,13 @@ writes n·F floats.  The speed-of-light edges/s for a chip is
                      + 4·F · (n / E)  (amortized output write)
 
 (reads dominate; a cached row may cost less — this is the pessimistic
-no-reuse bound).  The fwd+bwd pair costs ≈ 3× the forward traffic
-(forward gather + backward scatter of dL/dy into dL/dx with the transposed
-structure, plus re-read of indices).
+no-reuse bound).  The fwd+bwd pair costs ≈ 2× the forward traffic: the
+symmetric custom VJP (``ops/segment.py``) makes the backward the SAME
+gather over dL/dy with Aᵀ = A structure — one more pass, no scatter, no
+extra index re-read beyond the pass itself.  (A transposed-scatter
+backward would cost 3×; we don't ship one.)  With a 2× denominator no
+measured fraction can exceed 1.0 — round 3's "101% of SoL" reading came
+from charging the 3× scatter model against the 2× symmetric kernel.
 """
 
 from __future__ import annotations
@@ -54,8 +58,12 @@ class RooflineModel:
         out = 4.0 * self.feature_dim * (self.n_nodes / max(1, self.n_edges))
         return gather + idx + out
 
+    #: fwd+bwd traffic multiple for the shipped symmetric-VJP kernels
+    #: (backward = one more forward-shaped gather pass; see module docstring)
+    FWD_BWD_FACTOR = 2.0
+
     def edges_per_s(self, fwd_bwd: bool = True) -> float:
-        factor = 3.0 if fwd_bwd else 1.0
+        factor = self.FWD_BWD_FACTOR if fwd_bwd else 1.0
         return self.chip.hbm_gbps * 1e9 / (self.bytes_per_edge_fwd * factor)
 
     def fraction_of_roofline(self, measured_edges_per_s: float, fwd_bwd: bool = True) -> float:

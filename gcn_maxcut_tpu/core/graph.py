@@ -382,8 +382,20 @@ def pad_graph_batch(graphs: List[Graph]) -> Graph:
     All graphs must share (n_pad, e_pad) — use the data pipeline's bucketing
     to arrange that.  The result's fields have shape ``[B, ...]`` and work
     directly with ``jax.vmap``/``lax.scan``.
+
+    ``reorder_perm`` is an optional pytree leaf (array or None), so a mix
+    of reordered and non-reordered graphs would be a pytree-structure
+    mismatch inside ``tree_map``; any graph missing a perm gets the
+    identity materialized so mixed batches stack cleanly.
     """
     shapes = {(g.n_pad, g.e_pad) for g in graphs}
     if len(shapes) != 1:
         raise ValueError(f"graphs must share padded shapes, got {shapes}")
+    if any(g.reorder_perm is not None for g in graphs):
+        n_pad = graphs[0].n_pad
+        ident = jnp.arange(n_pad, dtype=jnp.int32)
+        graphs = [
+            g if g.reorder_perm is not None else g.replace(reorder_perm=ident)
+            for g in graphs
+        ]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)

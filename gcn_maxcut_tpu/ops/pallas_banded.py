@@ -334,6 +334,8 @@ def _banded_spmm_raw(
 ) -> jnp.ndarray:
     n, F = x.shape
     W = int(max(abs(o) for o in offsets))
+    if mode not in ("mxu", "vpu"):
+        raise ValueError(f"mode must be 'mxu' or 'vpu', got {mode!r}")
     if F % 128 and not _interpreting():
         # TPU DMA slices need 128-aligned lanes; narrow arrays (e.g. the
         # k=3 class dim) take the XLA rolls path — same math, no shape

@@ -110,6 +110,7 @@ def make_giant_step(
     axis: str = "graph",
     opt_state: Any = None,
     params: Tuple[Any, jnp.ndarray] | None = None,
+    dynamic_epochs: bool = False,
 ):
     """jit(chunk): ``epochs_per_call`` full forward/backward/Adam updates
     scanned INSIDE one shard_map (no host round-trips between epochs).
@@ -121,10 +122,17 @@ def make_giant_step(
     original per-epoch version, exposed by the in-map scan's carry-shape
     check).  Returns ``chunk(conv_params, embed, opt_state) ->
     (conv_params, embed, opt_state, losses[epochs_per_call])``.
+
+    ``dynamic_epochs=True`` instead returns ``chunk(conv_params, embed,
+    opt_state, k)`` where ``k`` is a *traced* epoch count driving a
+    ``fori_loop`` (lowers to while_loop) — ONE executable serves every k,
+    so timing with two chunk lengths does not pay a double compile
+    (~514 s cold on the tunneled TPU, BENCH_r02).  Per-epoch losses can't
+    have a dynamic length, so it returns only the final scalar loss.
     """
     K = max(1, config.epochs_per_call)
 
-    def local_chunk(conv_params, embed, opt_state, sg_dev):
+    def local_chunk(conv_params, embed, opt_state, k, sg_dev):
         sgl = local_shard(sg_dev)
 
         def loss_fn(conv_params, embed):
@@ -157,6 +165,14 @@ def make_giant_step(
             )
             return (conv_params, embed, opt_state), loss
 
+        if dynamic_epochs:
+            carry, loss = jax.lax.fori_loop(
+                0, k,
+                lambda _, c: body(c[0], None),
+                ((conv_params, embed, opt_state), jnp.zeros(())),
+            )
+            conv_params, embed, opt_state = carry
+            return conv_params, embed, opt_state, loss
         (conv_params, embed, opt_state), losses = jax.lax.scan(
             body, (conv_params, embed, opt_state), None, length=K
         )
@@ -195,11 +211,15 @@ def make_giant_step(
     smapped = jax.shard_map(
         local_chunk,
         mesh=mesh,
-        in_specs=(P(), P(axis), opt_specs(opt_state), shard_specs(sg, axis)),
+        in_specs=(
+            P(), P(axis), opt_specs(opt_state), P(), shard_specs(sg, axis)
+        ),
         out_specs=(P(), P(axis), opt_specs(opt_state), P()),
         check_vma=False,
     )
-    return jax.jit(lambda c, e, o: smapped(c, e, o, sg))
+    if dynamic_epochs:
+        return jax.jit(lambda c, e, o, k: smapped(c, e, o, jnp.int32(k), sg))
+    return jax.jit(lambda c, e, o: smapped(c, e, o, jnp.int32(K), sg))
 
 
 def measure_epoch_time(
@@ -220,40 +240,54 @@ def measure_epoch_time(
     host round-trip per chunk — on the tunneled TPU that RTT is large and
     noisy (PARITY §5 round 2: 18M edges/s mean vs 62M best-chunk).  This
     uses the repo's trusted amortized method (``utils/timing.scan_timeit``
-    semantics): chunks of ``k_hi`` and ``k_lo`` epochs each run inside ONE
-    jit; best-of-``reps`` wall times are differenced so the per-call RTT
-    and dispatch overhead cancel exactly.  Returns per-epoch seconds plus
-    the raw spread so run variance is visible.
-    """
-    import dataclasses as _dc
+    semantics): chunks of ``k_hi`` and ``k_lo`` epochs run through ONE
+    dynamic-k executable (``dynamic_epochs=True`` — a while_loop over a
+    traced epoch count, so the two lengths share a single compile);
+    best-of-``reps`` wall times are differenced so the per-call RTT and
+    dispatch overhead cancel exactly.  Returns per-epoch seconds plus the
+    raw spread so run variance is visible.
 
+    On the noisy tunnel a small ``reps`` can yield min(t_hi) < min(t_lo);
+    rather than clamping to an absurd throughput, that case returns
+    ``epoch_time_s = NaN`` with ``reliable = False`` — callers must check.
+    """
     conv_params, embed = params
+    step = make_giant_step(
+        sg, mesh, config, optimizer, axis, opt_state, params=params,
+        dynamic_epochs=True,
+    )
+    _, _, _, loss = step(conv_params, embed, opt_state, k_lo)  # compile
+    float(np.asarray(loss))
     times: Dict[int, list] = {}
     for k in (k_hi, k_lo):
-        step = make_giant_step(
-            sg, mesh, _dc.replace(config, epochs_per_call=k), optimizer,
-            axis, opt_state, params=params,
-        )
-        _, _, _, losses = step(conv_params, embed, opt_state)  # compile
-        float(np.asarray(losses)[-1])
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            _, _, _, losses = step(conv_params, embed, opt_state)
-            float(np.asarray(losses)[-1])                      # hard sync
+            _, _, _, loss = step(conv_params, embed, opt_state, k)
+            float(np.asarray(loss))                            # hard sync
             ts.append(time.perf_counter() - t0)
         times[k] = ts
-    per_epoch = max(
-        1e-9, (min(times[k_hi]) - min(times[k_lo])) / (k_hi - k_lo)
-    )
+    diff = min(times[k_hi]) - min(times[k_lo])
+    reliable = diff > 0
+    per_epoch = diff / (k_hi - k_lo) if reliable else float("nan")
+    if not reliable:
+        logger.warning(
+            "measure_epoch_time: min(t_hi)=%.4fs <= min(t_lo)=%.4fs with "
+            "reps=%d — measurement unreliable (tunnel variance); returning "
+            "NaN. Raise reps or k_hi-k_lo.",
+            min(times[k_hi]), min(times[k_lo]), reps,
+        )
     return {
         "epoch_time_s": per_epoch,
+        "reliable": reliable,
         "k_hi": k_hi,
         "k_lo": k_lo,
         "reps": reps,
         "spread_hi_s": max(times[k_hi]) - min(times[k_hi]),
+        "spread_lo_s": max(times[k_lo]) - min(times[k_lo]),
         "best_hi_s": min(times[k_hi]),
-        "method": "amortized in-jit chunk difference (best-of-reps)",
+        "method": "amortized in-jit chunk difference (best-of-reps, "
+                  "single dynamic-k executable)",
     }
 
 
@@ -344,6 +378,7 @@ def train_giant_graph(
         timed = {
             "edges_per_s_amortized": e_directed / m["epoch_time_s"],
             "epoch_time_s_amortized": m["epoch_time_s"],
+            "timing_reliable": m["reliable"],
             "timing_spread_s": m["spread_hi_s"],
             "timing_method": m["method"],
         }

@@ -14,6 +14,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
+from gcn_maxcut_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
 
 def device_count() -> int:
     return jax.device_count()
@@ -50,6 +54,11 @@ def multi_host_init(
 
     No-op when already initialized or single-process (env-driven defaults on
     TPU pods).  Call before any jax computation on each host.
+
+    A genuinely misconfigured launch (bad coordinator address, wrong
+    process count) must NOT silently degrade to single-process: only the
+    benign "already initialized" RuntimeError is swallowed; anything else
+    is logged and re-raised.
     """
     try:
         jax.distributed.initialize(
@@ -57,6 +66,19 @@ def multi_host_init(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        # already initialized or single-process context
-        pass
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg and "initialize" in msg:
+            logger.info("multi_host_init: jax.distributed already initialized")
+            return
+        if coordinator_address is None and (
+            "coordinator" in msg or "auto" in msg or "detect" in msg
+        ):
+            # env-driven auto-detection unavailable => single-process run
+            logger.info(
+                "multi_host_init: no multi-host environment detected, "
+                "continuing single-process (%s)", e,
+            )
+            return
+        logger.error("multi_host_init failed: %s", e)
+        raise
