@@ -69,20 +69,69 @@ def main():
     )
 
     train = bench_train_epoch(epochs_timed=10)
+    ts = train["epoch_time_stats"]
     print(
         f"[bench] train-epoch compile {train['compile_time_s']:.1f}s, "
         f"steady {train['epoch_time_s'] * 1e3:.2f} ms/epoch "
-        "(compile repaid from the persistent cache on repeat runs)",
+        f"(best of {ts['n_valid']}/{ts['n']}, spread {ts['spread_s'] * 1e3:.2f} ms; "
+        "compile repaid from the persistent cache on repeat runs)",
         file=sys.stderr,
     )
+
+    def _kernel_entry(stats, edges, sol_denom):
+        """best/mean/spread edges/s + SoL fraction from a scan_timeit_stats
+        dict (the round-over-round comparability record, VERDICT r3 #2)."""
+        best = edges / stats["best_s"]
+        return {
+            "best_edges_per_s": round(best, 1),
+            "mean_edges_per_s": round(edges / stats["mean_s"], 1),
+            "spread_frac": round(stats["spread_frac"], 4),
+            "n_valid": stats["n_valid"],
+            "sol_frac": round(best / sol_denom, 4),
+        }
+
+    kernels = {}
     try:
         spmm = bench_spmm(n=100_000, d=8, feature_dim=128)
         banded = bench_spmm_banded()
         post = bench_post_processing()
+        e = spmm["edges_directed"]
+        kernels = {
+            "block_ell_fwd": _kernel_entry(
+                spmm["fwd_stats"], e, spmm["roofline_fwd_edges_per_s"]
+            ),
+            "block_ell_fwdbwd": _kernel_entry(
+                spmm["fwdbwd_stats"], e, spmm["roofline_fwdbwd_edges_per_s"]
+            ),
+            "expander_gather_fwd": _kernel_entry(
+                spmm["expander_fwd_stats"], e,
+                spmm["roofline_fwd_edges_per_s"],
+            ),
+            "expander_gather_fwdbwd": _kernel_entry(
+                spmm["expander_fwdbwd_stats"], e,
+                spmm["roofline_fwdbwd_edges_per_s"],
+            ),
+        }
+        eb = banded["n"] * banded["d"]
+        kernels.update(
+            banded_unit_fwd=_kernel_entry(
+                banded["fwd_stats"], eb, banded["banded_roofline_edges_per_s"]
+            ),
+            # fwd+bwd = 2x the fwd stream (backward = same kernel on dy)
+            banded_unit_fwdbwd=_kernel_entry(
+                banded["fwdbwd_stats"], eb,
+                banded["banded_roofline_edges_per_s"] / 2.0,
+            ),
+            banded_weighted_fwd=_kernel_entry(
+                banded["weighted_fwd_stats"], eb,
+                banded["weighted_roofline_edges_per_s"],
+            ),
+        )
         print(
             f"[bench] general spmm fwd+bwd: {spmm['fwdbwd_edges_per_s']:.3e} edges/s; "
             f"banded pallas spmm fwd: {banded['fwd_edges_per_s']:.3e} edges/s "
-            f"({100 * banded['fraction_of_banded_roofline']:.0f}% of stream SoL); "
+            f"({100 * banded['fraction_of_banded_roofline']:.0f}% of stream SoL, "
+            f"spread {100 * banded['fwd_stats']['spread_frac']:.0f}%); "
             f"post-processing 200 iters: {post['time_s'] * 1e3:.1f} ms",
             file=sys.stderr,
         )
@@ -96,6 +145,9 @@ def main():
                 "value": round(train["epoch_time_s"], 6),
                 "unit": "s",
                 "vs_baseline": round(train["speedup_vs_reference"], 3),
+                "epoch_time_spread_s": round(ts["spread_s"], 6),
+                "best_of": ts["n"],
+                "kernels": kernels,
             }
         )
     )

@@ -40,7 +40,10 @@ def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
 
 # Canonical implementation lives in utils/timing.py (shared with the eval
 # harness and the k-way sweep); the `_scan_timeit` name is kept for docs.
-from gcn_maxcut_tpu.utils.timing import scan_timeit as _scan_timeit  # noqa: E402
+from gcn_maxcut_tpu.utils.timing import (  # noqa: E402
+    scan_timeit as _scan_timeit,
+    scan_timeit_stats as _scan_timeit_stats,
+)
 
 
 def _device_graph(n: int, d: int, seed: int = 0) -> Graph:
@@ -140,14 +143,19 @@ def bench_spmm(
     xb = jnp.concatenate(
         [x, jnp.zeros((n_pad - n, feature_dim), jnp.float32)]
     )
-    t_fwd = _scan_timeit(lambda x_: spmm(gb, x_) * scale, xb)
+    st_fwd = _scan_timeit_stats(lambda x_: spmm(gb, x_) * scale, xb)
     grad_b = jax.grad(lambda x_: jnp.sum(spmm(gb, x_) ** 2))
-    t_fwdbwd = _scan_timeit(lambda x_: grad_b(x_) * (scale * scale * 0.5), xb)
+    st_fwdbwd = _scan_timeit_stats(
+        lambda x_: grad_b(x_) * (scale * scale * 0.5), xb
+    )
+    t_fwd, t_fwdbwd = st_fwd["best_s"], st_fwdbwd["best_s"]
     res.update(
         fwd_time_s=t_fwd,
         fwd_edges_per_s=e / t_fwd,
+        fwd_stats=st_fwd,
         fwdbwd_time_s=t_fwdbwd,
         fwdbwd_edges_per_s=e / t_fwdbwd,
+        fwdbwd_stats=st_fwdbwd,
         fraction_of_roofline_fwd=model.fraction_of_roofline(
             e / t_fwd, fwd_bwd=False
         ),
@@ -160,12 +168,17 @@ def bench_spmm(
 
     # --- expander instance on the ELL gather path ---
     ge = _device_graph(n, d)
-    t_fwd_e = _scan_timeit(lambda x_: spmm(ge, x_) * scale, x)
+    st_fwd_e = _scan_timeit_stats(lambda x_: spmm(ge, x_) * scale, x)
     grad_e = jax.grad(lambda x_: jnp.sum(spmm(ge, x_) ** 2))
-    t_fb_e = _scan_timeit(lambda x_: grad_e(x_) * (scale * scale * 0.5), x)
+    st_fb_e = _scan_timeit_stats(
+        lambda x_: grad_e(x_) * (scale * scale * 0.5), x
+    )
+    t_fwd_e, t_fb_e = st_fwd_e["best_s"], st_fb_e["best_s"]
     res.update(
         expander_fwd_edges_per_s=e / t_fwd_e,
         expander_fwdbwd_edges_per_s=e / t_fb_e,
+        expander_fwd_stats=st_fwd_e,
+        expander_fwdbwd_stats=st_fb_e,
         expander_fraction_of_roofline_fwd=model.fraction_of_roofline(
             e / t_fwd_e, fwd_bwd=False
         ),
@@ -214,11 +227,19 @@ def bench_spmm_banded(
 
     scale = 1.0 / d
     # unit-weight kernel: what the giant trainers actually run (headline)
-    t_fwd = _scan_timeit(lambda x_: banded_spmm_unit(x_, offsets) * scale, x)
+    st_fwd = _scan_timeit_stats(
+        lambda x_: banded_spmm_unit(x_, offsets) * scale, x
+    )
     grad_fn = jax.grad(lambda x_: jnp.sum(banded_spmm_unit(x_, offsets) ** 2))
-    t_fwdbwd = _scan_timeit(lambda x_: grad_fn(x_) * (scale * scale * 0.5), x)
+    st_fwdbwd = _scan_timeit_stats(
+        lambda x_: grad_fn(x_) * (scale * scale * 0.5), x
+    )
     # weighted kernel (per-row [n, d] weight table)
-    t_fwd_w = _scan_timeit(lambda x_: banded_spmm(x_, w, offsets) * scale, x)
+    st_fwd_w = _scan_timeit_stats(
+        lambda x_: banded_spmm(x_, w, offsets) * scale, x
+    )
+    t_fwd, t_fwdbwd = st_fwd["best_s"], st_fwdbwd["best_s"]
+    t_fwd_w = st_fwd_w["best_s"]
 
     e = n * d
     model = RooflineModel(chip_specs(chip), feature_dim, n, e)
@@ -229,10 +250,13 @@ def bench_spmm_banded(
         "bandwidth": bandwidth,
         "fwd_time_s": t_fwd,
         "fwd_edges_per_s": e / t_fwd,
+        "fwd_stats": st_fwd,
         "fwdbwd_time_s": t_fwdbwd,
         "fwdbwd_edges_per_s": e / t_fwdbwd,
+        "fwdbwd_stats": st_fwdbwd,
         "weighted_fwd_time_s": t_fwd_w,
         "weighted_fwd_edges_per_s": e / t_fwd_w,
+        "weighted_fwd_stats": st_fwd_w,
         # banded roofline: read x + write y once => bytes = 2 n F 4 / E edges
         "banded_roofline_edges_per_s": model.chip.hbm_gbps
         * 1e9
@@ -322,16 +346,23 @@ def bench_train_epoch(
     float(loss)
     compile_time = time.perf_counter() - t0
 
-    best = {}
-    for k in (k_hi, k_lo):
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _, _, loss = run_k(params, opt_state, key, k)
-            float(loss)
-            ts.append(time.perf_counter() - t0)
-        best[k] = min(ts)
-    epoch_time = max(1e-9, (best[k_hi] - best[k_lo]) / (k_hi - k_lo))
+    # outer best-of-3 of the full differenced estimate (PARITY §3: tunnel
+    # variance makes single-shot readings incomparable across rounds)
+    estimates = []
+    for _ in range(3):
+        best = {}
+        for k in (k_hi, k_lo):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, _, loss = run_k(params, opt_state, key, k)
+                float(loss)
+                ts.append(time.perf_counter() - t0)
+            best[k] = min(ts)
+        d_t = best[k_hi] - best[k_lo]
+        if d_t > 0:
+            estimates.append(d_t / (k_hi - k_lo))
+    epoch_time = min(estimates) if estimates else float("nan")
     # advance params for a meaningful final loss
     params, opt_state, loss = run_k(params, opt_state, key, k_hi)
     losses = [loss]
@@ -341,6 +372,19 @@ def bench_train_epoch(
         "num_graphs": num_graphs,
         "n": n,
         "epoch_time_s": epoch_time,
+        "epoch_time_stats": {
+            "best_s": epoch_time,
+            "mean_s": (
+                sum(estimates) / len(estimates)
+                if estimates else float("nan")
+            ),
+            "spread_s": (
+                max(estimates) - min(estimates)
+                if estimates else float("nan")
+            ),
+            "n": 3,
+            "n_valid": len(estimates),
+        },
         "compile_time_s": compile_time,
         "final_epoch_loss": float(losses[-1]),
         "reference_epoch_time_s": ref_epoch_time,

@@ -96,3 +96,55 @@ def scan_timeit(op, x0, k_hi: int = 50, k_lo: int = 10, reps: int = 3) -> float:
             ts.append(time.perf_counter() - t0)
         best[k] = min(ts)
     return max(1e-9, (best[k_hi] - best[k_lo]) / (k_hi - k_lo))
+
+
+def scan_timeit_stats(
+    op, x0, k_hi: int = 50, k_lo: int = 10, reps: int = 3, outer: int = 3
+) -> Dict[str, float]:
+    """Best-of-``outer`` :func:`scan_timeit` with spread, for round-over-
+    round comparability on the noisy tunnel (PARITY §3: single-shot
+    readings moved 16 SoL points between rounds purely from run variance).
+
+    Each outer sample is one full amortized measurement (inner
+    best-of-``reps`` at both chunk lengths, differenced).  Non-positive
+    differences (variance exceeded the signal) are dropped; if every
+    sample is degenerate the result is NaN with ``n_valid = 0``.
+
+    Returns ``{"best_s", "mean_s", "spread_s", "spread_frac", "n", "n_valid"}``.
+    """
+    import math
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(x, k):
+        y, _ = jax.lax.scan(lambda c, _: (op(c), None), x, None, length=k)
+        return jnp.sum(y)
+
+    float(chain(x0, k_hi))  # compile both signatures once
+    float(chain(x0, k_lo))
+    samples = []
+    for _ in range(max(1, outer)):
+        best = {}
+        for k in (k_hi, k_lo):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chain(x0, k))
+                ts.append(time.perf_counter() - t0)
+            best[k] = min(ts)
+        diff = best[k_hi] - best[k_lo]
+        if diff > 0:
+            samples.append(diff / (k_hi - k_lo))
+    if not samples:
+        return {
+            "best_s": math.nan, "mean_s": math.nan, "spread_s": math.nan,
+            "spread_frac": math.nan, "n": outer, "n_valid": 0,
+        }
+    best_s = min(samples)
+    return {
+        "best_s": best_s,
+        "mean_s": sum(samples) / len(samples),
+        "spread_s": max(samples) - best_s,
+        "spread_frac": (max(samples) - best_s) / best_s,
+        "n": outer,
+        "n_valid": len(samples),
+    }

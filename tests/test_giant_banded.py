@@ -23,6 +23,23 @@ def test_halo_giant_improves_cut_on_4_devices():
     assert np.isfinite(res["final_cut"])
 
 
+def test_halo_giant_quality_bound():
+    """Quality REGRESSION bound for the banded giant path: the toy run
+    (n=512, d=4, 40 epochs) must cut >= 90% of edges — the 10M-node
+    hardware run cuts 93.6% at 40 epochs (PARITY §4), and this scaled
+    config measures 96.8% at 60 epochs / ~93% at 40.  Shape-only checks
+    (final > initial) would pass a trainer that converges to a much worse
+    cut; this one fails on quality."""
+    mesh = make_mesh(("graph",), devices=jax.devices()[:4])
+    cfg = HaloGiantConfig(
+        d=4, dim_embedding=16, hidden_dim=16, epochs=40, epochs_per_call=20,
+        bandwidth=15, block=64, learning_rate=1e-2,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        res = train_halo_giant(n_shard=128, config=cfg, mesh=mesh)
+    assert res["cut_fraction"] >= 0.90, res["cut_fraction"]
+
+
 def test_halo_giant_single_device_consistency():
     # D=1 loopback must also train (wrap == circulant)
     mesh = make_mesh(("graph",), devices=jax.devices()[:1])

@@ -23,3 +23,21 @@ def test_kway_sweep_tiny():
         assert r["cut_fraction"] > r["random_fraction"], r
         assert r["edges_per_s"] > 0
         assert r["num_shards"] == 8
+
+
+def test_kway_quality_bound_n4096():
+    """Scaled-down config[3] quality REGRESSION bound: k=3 at n=4096 on the
+    8-device virtual mesh must land >= +10 points over the uniform-random
+    floor (the measured hardware run lands at +16, PARITY §5; 150 epochs
+    here reach ~+22 on the virtual mesh — a real quality regression in the
+    sharded trainer drops well below +10, a shape bug drops to ~0)."""
+    (r,) = kway_sweep(
+        n=4096, d=8, ks=(3,), epochs=150, dim_embedding=16, hidden_dim=16,
+        learning_rate=5e-3, seed=1,
+    )
+    margin = 100.0 * (r["cut_fraction"] - r["random_fraction"])
+    assert margin >= 10.0, (
+        f"k=3 margin over the random floor collapsed to {margin:.1f} points "
+        f"(cut {100 * r['cut_fraction']:.1f}% vs floor "
+        f"{100 * r['random_fraction']:.1f}%)"
+    )
