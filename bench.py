@@ -111,6 +111,12 @@ def main():
                 spmm["expander_fwdbwd_stats"], e,
                 spmm["roofline_fwdbwd_edges_per_s"],
             ),
+            # sol_frac here is vs the F32 roofline (the bf16 lever moves
+            # half the bytes, so >100% of the f32 bound is expected)
+            "expander_bf16_fwd": _kernel_entry(
+                spmm["expander_bf16_fwd_stats"], e,
+                spmm["roofline_fwd_edges_per_s"],
+            ),
         }
         eb = banded["n"] * banded["d"]
         kernels.update(

@@ -7,6 +7,15 @@ ceiling is BYTES, gathering bf16 rows (256 B at F=128) should double
 edges/s for the cost of bf16 aggregation precision; if it is ROWS
 (descriptor-bound), bf16 changes nothing.  This decides whether an opt-in
 bf16 feature mode is worth shipping for the expander path.
+
+MEASURED VERDICT (v5e, 3 runs, 2026-08-20): **row/descriptor-bound.**
+A single bf16 row-gather streams only ~75-90 GB/s — the same per-row cost
+as f32 at half the bytes — and the d-gather chain lands at 5.6-5.9e8
+edges/s bf16 vs 5.0-5.7e8 f32 (+4-14%, from the halved output traffic,
+not the gathers).  Run 1 printed a 3x bf16 gain (1.13e9) that runs 2 and
+3 refuted — tunnel variance; always re-measure outliers (PARITY §3).
+The bf16 feature mode ships in ``ops/segment.py`` as a small opt-in
+lever with f32 accumulation.
 """
 
 import os

@@ -9,6 +9,16 @@ table by panel (host-side, static) cuts the build to W_P compare passes
 per 128-wide panel — total ~ n_panels*W_P*128 per row, independent of the
 window width.  Prototype + measurement vs the shipped kernel at W=255 and
 W=511 (the VERDICT r3 #5 targets: >=70% / >=55% of the gather roofline).
+
+MEASURED VERDICT (v5e, 2026-08-20): **negative result — shipped kernel
+wins.**  At W=255 the panel variant needs W_P=4 to keep spills under 2%
+(per-row neighbors cluster in a few panels on banded graphs — the panel
+occupancy is far more skewed than binomial), so 6 panels x 4 slots = 24
+compare passes over [B,128] slabs plus 12 small split-matmuls lose to the
+shipped kernel's 8 passes over wide slabs: 6.3e8 (45%) vs 1.04e9 (74%).
+Meanwhile best-of-3 measurement shows the shipped kernel already makes
+both targets — W=255: 74-77%, W=511: 55% — the round-3 single-shot
+readings (65%/48%) were tunnel variance (PARITY §3).
 """
 
 import os
@@ -50,14 +60,23 @@ PANEL = 128
 
 
 def build_panel_tables(senders, receivers, weights, n_pad, B, Wp, W_P):
-    """[n_pad, n_panels*W_P] panel-local index + weight tables; returns
-    (idx, wgt, spill_edges) with spilled (over-W_P) edges listed."""
+    """[n_pad, n_panels*W_P] panel-local index + weight tables.
+
+    Out-of-window edges (wrap-around; the shipped plan's outlier COO) and
+    over-W_P spills are DROPPED here — the probe measures the kernel, not
+    the correction — and the affected receiver rows are returned so the
+    correctness check can mask them.  Returns (idx, wgt, n_dropped,
+    dropped_rows_mask)."""
     Wwin = B + 2 * Wp
     n_panels = Wwin // PANEL
-    assert Wwin % PANEL == 0
+    if Wwin % PANEL:
+        raise ValueError(f"window {Wwin} not divisible by PANEL={PANEL}")
     lidx = (senders - (receivers // B) * B + Wp) % n_pad
     in_win = lidx < Wwin
-    assert in_win.all(), "probe graphs must be fully in-window"
+    escaped_recv = receivers[~in_win]
+    senders, receivers, weights, lidx = (
+        senders[in_win], receivers[in_win], weights[in_win], lidx[in_win]
+    )
     panel = lidx // PANEL
     local = lidx % PANEL
     key = receivers * n_panels + panel
@@ -68,12 +87,15 @@ def build_panel_tables(senders, receivers, weights, n_pad, B, Wp, W_P):
     fits = rank < W_P
     idx = np.full((n_pad, n_panels * W_P), -1, np.int32)
     wgt = np.zeros((n_pad, n_panels * W_P), np.float32)
-    slot = key[order] % n_panels * W_P + rank
     r_ord = receivers[order]
     idx[r_ord[fits], (panel[order] * W_P + rank)[fits]] = local[order][fits]
     wgt[r_ord[fits], (panel[order] * W_P + rank)[fits]] = weights[order][fits]
-    n_spill = int((~fits).sum())
-    return idx, wgt, n_spill
+    n_drop = int((~in_win).sum() + (~fits).sum())
+    # rows losing any edge: out-of-window receivers + spilled receivers
+    dropped_rows = np.zeros(n_pad, bool)
+    dropped_rows[escaped_recv] = True
+    dropped_rows[r_ord[~fits]] = True
+    return idx, wgt, n_drop, dropped_rows
 
 
 def _panel_kernel(n, B, Wp, F, nb, n_panels, W_P, mode,
@@ -177,16 +199,22 @@ def main():
         w = np.ones_like(s, np.float32)
         B = g.bell_block or 256
         for W_P in (2, 3, 4):
-            idx, wgt, n_spill = build_panel_tables(s, r, w, n_pad, B, wp, W_P)
-            if n_spill > 0.02 * e:
-                print(f"W={locality} W_P={W_P}: spill {n_spill} "
-                      f"({100 * n_spill / e:.2f}%) too high", flush=True)
+            idx, wgt, n_drop, dropped = build_panel_tables(
+                s, r, w, n_pad, B, wp, W_P
+            )
+            if n_drop > 0.05 * e:
+                print(f"W={locality} W_P={W_P}: dropped {n_drop} "
+                      f"({100 * n_drop / e:.2f}%) too high", flush=True)
                 continue
             ij = jnp.asarray(idx)
             wj = jnp.asarray(wgt)
             y = panel_spmm(x, ij, wj, n_pad, B, wp, W_P)
             ref = spmm(g, x)
-            err = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+            keep = jnp.asarray(~dropped)[:, None]
+            err = float(
+                jnp.max(jnp.abs((y - ref) * keep))
+                / (jnp.max(jnp.abs(ref)) + 1e-9)
+            )
             st = scan_timeit_stats(
                 lambda x_: panel_spmm(x_, ij, wj, n_pad, B, wp, W_P) * (1 / d),
                 x,
@@ -194,8 +222,9 @@ def main():
             eps = e / st["best_s"]
             print(f"W={locality} W_P={W_P}: panel-ELL {eps:.3e} edges/s "
                   f"({100 * eps / roof:.0f}% roof, spread "
-                  f"{100 * st['spread_frac']:.0f}%), spill "
-                  f"{100 * n_spill / e:.2f}%, rel err {err:.1e}", flush=True)
+                  f"{100 * st['spread_frac']:.0f}%), dropped "
+                  f"{100 * n_drop / e:.2f}%, rel err (kept rows) {err:.1e}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,7 @@ def kway_sweep(
             "edges_per_s": out["edges_per_s"],
             "edges_per_s_amortized": out.get("edges_per_s_amortized"),
             "epoch_time_s_amortized": out.get("epoch_time_s_amortized"),
+            "timing_reliable": out.get("timing_reliable"),
             "timing_spread_s": out.get("timing_spread_s"),
             "train_time_s": time.perf_counter() - t0,
             "num_shards": out["num_shards"],

@@ -174,11 +174,20 @@ def bench_spmm(
         lambda x_: grad_e(x_) * (scale * scale * 0.5), x
     )
     t_fwd_e, t_fb_e = st_fwd_e["best_s"], st_fb_e["best_s"]
+    # bf16 feature rows (byte-bound gather lever): op must map bf16->bf16
+    # to chain, so the f32 accumulate is truncated once per iteration —
+    # the gather traffic being measured is unchanged
+    x16 = x.astype(jnp.bfloat16)
+    st_fwd_e16 = _scan_timeit_stats(
+        lambda x_: (spmm(ge, x_) * scale).astype(jnp.bfloat16), x16
+    )
     res.update(
         expander_fwd_edges_per_s=e / t_fwd_e,
         expander_fwdbwd_edges_per_s=e / t_fb_e,
         expander_fwd_stats=st_fwd_e,
         expander_fwdbwd_stats=st_fb_e,
+        expander_bf16_fwd_edges_per_s=e / st_fwd_e16["best_s"],
+        expander_bf16_fwd_stats=st_fwd_e16,
         expander_fraction_of_roofline_fwd=model.fraction_of_roofline(
             e / t_fwd_e, fwd_bwd=False
         ),
@@ -189,7 +198,7 @@ def bench_spmm(
     logger.info(
         "spmm n=%d d=%d F=%d: banded-random/block-ELL fwd %.2e edges/s "
         "(%.0f%% SoL), fwd+bwd %.2e (%.0f%%); expander/gather fwd %.2e "
-        "(%.0f%%), fwd+bwd %.2e (%.0f%%)",
+        "(%.0f%%), fwd+bwd %.2e (%.0f%%), bf16 fwd %.2e (%.0f%% of f32 SoL)",
         n, d, feature_dim,
         res["fwd_edges_per_s"], 100 * res["fraction_of_roofline_fwd"],
         res["fwdbwd_edges_per_s"], 100 * res["fraction_of_roofline_fwdbwd"],
@@ -197,6 +206,10 @@ def bench_spmm(
         100 * res["expander_fraction_of_roofline_fwd"],
         res["expander_fwdbwd_edges_per_s"],
         100 * res["expander_fraction_of_roofline_fwdbwd"],
+        res["expander_bf16_fwd_edges_per_s"],
+        100 * model.fraction_of_roofline(
+            res["expander_bf16_fwd_edges_per_s"], fwd_bwd=False
+        ),
     )
     return res
 

@@ -16,11 +16,16 @@ contracting it on the MXU:
     G[i, l]  = Σ_j  w[i, j] · [lidx[i, j] == l]        (VPU, d compare passes)
     y_block  = G @ x_window                            (MXU)
 
-Measured on v5e (n=100k, d=8, F=128, ``bench/microbench.py``):
-  * W ≤ 255: ~0.95e9 edges/s ≈ 68% of the gather roofline (XLA gather
-    path: 34%) in the default ``split`` mode;
-  * W = 511: ~0.66e9 (48%); beyond ~W=1024 the VPU one-hot build dominates
-    and the gather path wins again — the planner refuses such bands;
+Measured on v5e (n=100k, d=8, F=128, ``bench/microbench.py``, best-of-3
+amortized — single shots on the tunnel vary by ±15 SoL points):
+  * W ≤ 255: 1.04–1.07e9 edges/s ≈ 74–77% of the gather roofline (XLA
+    gather path: 35–38%) in the default ``split`` mode;
+  * W = 511: 7.6e8 (55%); beyond ~W=1024 the VPU one-hot build dominates
+    and the gather path wins again — the planner refuses such bands.
+    (A panel-bucketed one-hot build — fewer compares, narrower slabs —
+    measured *slower*, 45%: per-row neighbors cluster into few panels so
+    the table needs width 4, and 24 narrow slab passes lose to 8 wide
+    ones; ``experiments/panel_ell_probe.py``.);
   * precision: the MXU truncates inputs to bf16 at default precision
     (~2e-3 rel err).  The default ``split`` mode sends the window through
     the MXU twice as ``hi + lo`` bf16 halves (rel err ~3e-6, measured) for

@@ -18,6 +18,8 @@ use the dense-MXU aggregation path (``models.gcn_conv_apply(a_dense=...)``).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -39,8 +41,10 @@ def spmm_xla(g: Graph, x: jnp.ndarray, edge_weights: jnp.ndarray | None = None) 
     )
 
 
-@jax.custom_vjp
-def _ell_gather_sum(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ell_gather_sum(
+    x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray, bf16: bool = False
+) -> jnp.ndarray:
     """y[i] = Σ_j w[i, j] · x[nbr[i, j]] — gather-only SpMM (no scatter).
 
     On TPU the scatter half of segment-sum measured ~3x slower than pure
@@ -48,6 +52,18 @@ def _ell_gather_sum(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray) -> jnp.nda
     exploits adjacency symmetry (undirected graphs store both directions
     with equal weights) to make the backward a gather too:
     dL/dx = Aᵀ·dy = A·dy.
+
+    bf16 feature rows: when ``x`` arrives as bfloat16 the gathers move
+    half the bytes and accumulation stays f32 (output is f32).  Probe
+    verdict (``experiments/gather_bf16_probe.py``, 3 runs on v5e): the
+    expander gather is ROW/DESCRIPTOR-bound, not byte-bound — a single
+    bf16 row-gather streams only ~80 GB/s (same per-row cost as f32, half
+    the bytes), so bf16 features buy a modest +4-14% on the d-gather
+    chain (5.0-5.7e8 -> 5.6-5.9e8 edges/s at n=100k d=8 F=128), from the
+    halved output/intermediate traffic, not the gathers.  One early 3x
+    reading did not reproduce (tunnel variance; PARITY §3's re-measure
+    rule).  The mode ships as a small opt-in lever; the backward gathers
+    the cotangent in bf16 too.
     """
     return _ell_sum(x, nbr, w)
 
@@ -56,20 +72,31 @@ def _ell_sum(x, nbr, w):
     # d separate row-gathers (no [n, d, F] intermediate): measured the
     # fastest formulation on v5e (273M vs 87M edges/s for gather+scatter).
     d = nbr.shape[1]
-    out = w[:, 0:1] * x[nbr[:, 0]]
+    bf16 = x.dtype == jnp.bfloat16
+
+    def g(j):
+        r = x[nbr[:, j]]
+        return r.astype(jnp.float32) if bf16 else r
+
+    out = w[:, 0:1] * g(0)
     for j in range(1, d):
-        out = out + w[:, j : j + 1] * x[nbr[:, j]]
+        out = out + w[:, j : j + 1] * g(j)
     return out
 
 
-def _ell_fwd(x, nbr, w):
+def _ell_fwd(x, nbr, w, bf16):
     return _ell_sum(x, nbr, w), (nbr, w)
 
 
-def _ell_bwd(res, dy):
+def _ell_bwd(bf16, res, dy):
     nbr, w = res
-    # symmetric adjacency: transpose SpMM == same SpMM
+    # symmetric adjacency: transpose SpMM == same SpMM; keep the bf16
+    # byte saving in the backward when the forward opted in
+    if bf16:
+        dy = dy.astype(jnp.bfloat16)
     dx = _ell_sum(dy, nbr, w)
+    if bf16:
+        dx = dx.astype(jnp.bfloat16)
     return dx, None, jnp.zeros_like(w)
 
 
@@ -78,9 +105,11 @@ _ell_gather_sum.defvjp(_ell_fwd, _ell_bwd)
 
 def spmm_ell(g: Graph, x: jnp.ndarray, edge_weights_mode: str = "mask") -> jnp.ndarray:
     """ELL fast-path SpMM.  ``edge_weights_mode``: 'mask' (unweighted
-    aggregation over real edges, the GraphConv case) or 'weights'."""
+    aggregation over real edges, the GraphConv case) or 'weights'.
+    Accepts f32 or bf16 features (bf16 = half the gather bytes, f32
+    accumulation, f32 output — the byte-bound expander lever)."""
     w = g.ell_mask if edge_weights_mode == "mask" else g.ell_weights
-    return _ell_gather_sum(x, g.ell_senders, w)
+    return _ell_gather_sum(x, g.ell_senders, w, x.dtype == jnp.bfloat16)
 
 
 def _spmm_block_ell(g: Graph, x: jnp.ndarray, mode: str) -> jnp.ndarray:
@@ -97,28 +126,45 @@ def _spmm_block_ell(g: Graph, x: jnp.ndarray, mode: str) -> jnp.ndarray:
     )
 
 
-def spmm(g: Graph, x: jnp.ndarray, edge_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+def spmm(
+    g: Graph,
+    x: jnp.ndarray,
+    edge_weights: jnp.ndarray | None = None,
+    feature_dtype: jnp.dtype | str | None = None,
+) -> jnp.ndarray:
     """Dispatching SpMM: windowed block-ELL Pallas kernel when the graph
     carries a locality plan (``g.bell_block``, ~2x the gather path —
     measured 68% vs 34% of the gather roofline on v5e); else the ELL
     gather-only path when the graph carries ELL tables and the request
     matches a stored weighting; else XLA segment-sum.
 
+    ``feature_dtype="bfloat16"`` (or passing ``x`` already as bf16)
+    opts the GATHER path into half-width feature rows with f32
+    accumulation.  Measured verdict: the expander gather is row/
+    descriptor-bound, so this buys a modest +4-14% (5.6-5.9e8 vs
+    5.0-5.7e8 edges/s at n=100k d=8 F=128 across 3 runs;
+    ``experiments/gather_bf16_probe.py``) at bf16 read precision (~3
+    decimal digits) — an opt-in lever, not a 2x.  Graphs with a
+    block-ELL plan ignore the request — the f32 Pallas kernel (74-77% of
+    the gather roofline) is far past the gather ceiling already.
+
     NOTE: the ELL and block-ELL backwards assume a symmetric adjacency
     (always true for graphs built with ``symmetrize=True``, the framework
     default).
     """
-    if g.bell_block is not None:
+    if g.bell_block is not None and x.dtype == jnp.float32:
         if edge_weights is None:
             return _spmm_block_ell(g, x, "mask")
         if edge_weights is g.weights:
             return _spmm_block_ell(g, x, "weights")
+    if feature_dtype is not None:
+        x = x.astype(feature_dtype)
     if g.ell_senders is not None:
         if edge_weights is None:
             return spmm_ell(g, x, "mask")
         if edge_weights is g.weights:
             return spmm_ell(g, x, "weights")
-    return spmm_xla(g, x, edge_weights)
+    return spmm_xla(g, x.astype(jnp.float32), edge_weights)
 
 
 def sddmm(g: Graph, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

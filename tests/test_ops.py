@@ -132,6 +132,35 @@ def test_ell_path_matches_segment_path():
     )
 
 
+def test_ell_bf16_feature_mode_matches_f32():
+    """Opt-in bf16 gather path (byte-bound expander lever): output f32,
+    values within bf16 read tolerance of the f32 path, fwd and bwd."""
+    g, a = _graph_and_dense(25, 0.3, 11)
+    assert g.ell_senders is not None
+    x = jnp.asarray(
+        np.random.default_rng(12).normal(size=(g.n_pad, 6)), jnp.float32
+    )
+    from gcn_maxcut_tpu.ops.segment import spmm
+
+    y32 = np.asarray(spmm(g, x))
+    y16 = np.asarray(spmm(g, x, feature_dtype=jnp.bfloat16))
+    assert y16.dtype == np.float32
+    scale = np.abs(y32).max() + 1e-9
+    np.testing.assert_allclose(y16 / scale, y32 / scale, atol=2e-2)
+    # bf16 input directly dispatches the same path
+    y16b = np.asarray(spmm(g, x.astype(jnp.bfloat16)))
+    np.testing.assert_allclose(y16b, y16, rtol=0, atol=0)
+    # backward: symmetric gather on the bf16-cast cotangent
+    g16 = jax.grad(
+        lambda x_: jnp.sum(jnp.tanh(spmm(g, x_, feature_dtype=jnp.bfloat16)))
+    )(x)
+    g32 = jax.grad(lambda x_: jnp.sum(jnp.tanh(spmm(g, x_))))(x)
+    gs = np.abs(np.asarray(g32)).max() + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(g16) / gs, np.asarray(g32) / gs, atol=3e-2
+    )
+
+
 def test_ell_custom_vjp_matches_autodiff():
     import jax
 
