@@ -16,16 +16,22 @@ contracting it on the MXU:
     G[i, l]  = Σ_j  w[i, j] · [lidx[i, j] == l]        (VPU, d compare passes)
     y_block  = G @ x_window                            (MXU)
 
+The one-hot build is row-SUB-BLOCKED (``_R0`` = 128): a row at block
+offset t only references window columns [t, t + 2Wp], so each 128-row
+sub-block scans only its [kR0, kR0 + R0 + 2Wp) window slice — the VPU
+build (the kernel's bottleneck) costs d·(R0 + 2Wp) instead of
+d·(B + 2Wp) elem-ops per row, MXU MACs unchanged.
+
 Measured on v5e (n=100k, d=8, F=128, ``bench/microbench.py``, best-of-3
 amortized — single shots on the tunnel vary by ±15 SoL points):
-  * W ≤ 255: 1.04–1.07e9 edges/s ≈ 74–77% of the gather roofline (XLA
-    gather path: 35–38%) in the default ``split`` mode;
-  * W = 511: 7.6e8 (55%); beyond ~W=1024 the VPU one-hot build dominates
-    and the gather path wins again — the planner refuses such bands.
-    (A panel-bucketed one-hot build — fewer compares, narrower slabs —
-    measured *slower*, 45%: per-row neighbors cluster into few panels so
-    the table needs width 4, and 24 narrow slab passes lose to 8 wide
-    ones; ``experiments/panel_ell_probe.py``.);
+  * W ≤ 255: 1.13e9 edges/s ≈ 81% of the gather roofline (XLA gather
+    path: 35–38%) in the default ``split`` mode; pre-sub-blocking: 73–77%;
+  * W = 511: 1.05e9 (75%); pre-sub-blocking: 55%.  Beyond ~W=1024 the
+    VPU one-hot build dominates and the gather path wins again — the
+    planner refuses such bands.  (A panel-bucketed one-hot build — fewer
+    compares, narrower slabs — measured *slower*, 45%: per-row neighbors
+    cluster into few panels so the table needs width 4, and 24 narrow
+    slab passes lose to 8 wide ones; ``experiments/panel_ell_probe.py``.);
   * precision: the MXU truncates inputs to bf16 at default precision
     (~2e-3 rel err).  The default ``split`` mode sends the window through
     the MXU twice as ``hi + lo`` bf16 halves (rel err ~3e-6, measured) for
@@ -69,6 +75,17 @@ from gcn_maxcut_tpu.ops.pallas_banded import (
 _PANEL = 384
 
 
+# Rows are tiled into sub-blocks of _R0 for the one-hot build: a row at
+# block offset t only references window columns [t, t + 2Wp] (the planner
+# spills |offset| > Wp edges to the outlier COO), so sub-block k scans
+# only its [k*_R0, k*_R0 + _R0 + 2Wp) slice instead of the full window —
+# the VPU build drops from d*(B+2Wp) to d*(_R0+2Wp) elem-ops per row with
+# the MXU MAC count unchanged (128 rows keep the systolic array full).
+# Measured (experiments/subblock_probe.py, best-of-3): W=255 73% -> 81%,
+# W=511 55% -> 75% of the gather roofline.
+_R0 = 128
+
+
 def _block_ell_kernel(
     n, B, Wp, F, P, nb, d, mode, sidx_ref, w_ref, x_hbm, lo_hbm, hi_hbm,
     out_ref, scratch, sems
@@ -89,7 +106,6 @@ def _block_ell_kernel(
 
     wait(i, slot)
     xw = scratch[slot]                                  # [B + 2Wp, F]
-    Wwin = B + 2 * Wp
 
     # window-local indices from absolute sender ids (mod-n wrap, matching
     # the window layout [x[n-Wp:] | x[bB-Wp : bB+B+Wp] | x[:Wp]] at the ends)
@@ -100,23 +116,31 @@ def _block_ell_kernel(
     if mode == "split":
         hi = xw.astype(jnp.bfloat16).astype(jnp.float32)
         lo = xw - hi
-    acc = jnp.zeros((B, F), jnp.float32)
     dn = (((1,), (0,)), ((), ()))
-    for p0 in range(0, Wwin, P):
-        pw = min(P, Wwin - p0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, pw), 1) + p0
-        Gp = jnp.zeros((B, pw), jnp.float32)
-        for j in range(d):                              # static unroll
-            Gp = Gp + jnp.where(lidx[:, j:j+1] == col, wgt[:, j:j+1], 0.0)
-        if mode == "split":
-            acc = acc + jax.lax.dot_general(
-                Gp, hi[p0:p0+pw, :], dn, preferred_element_type=jnp.float32)
-            acc = acc + jax.lax.dot_general(
-                Gp, lo[p0:p0+pw, :], dn, preferred_element_type=jnp.float32)
-        else:
-            acc = acc + jax.lax.dot_general(
-                Gp, xw[p0:p0+pw, :], dn, preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+    r0 = _R0 if B % _R0 == 0 else B
+    span = r0 + 2 * Wp                                  # per-sub-block cols
+    for k in range(B // r0):
+        li = lidx[k * r0:(k + 1) * r0, :]
+        wk = wgt[k * r0:(k + 1) * r0, :]
+        acc = jnp.zeros((r0, F), jnp.float32)
+        for p0 in range(k * r0, k * r0 + span, P):
+            pw = min(P, k * r0 + span - p0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (r0, pw), 1) + p0
+            Gp = jnp.zeros((r0, pw), jnp.float32)
+            for j in range(d):                          # static unroll
+                Gp = Gp + jnp.where(li[:, j:j+1] == col, wk[:, j:j+1], 0.0)
+            if mode == "split":
+                acc = acc + jax.lax.dot_general(
+                    Gp, hi[p0:p0+pw, :], dn,
+                    preferred_element_type=jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    Gp, lo[p0:p0+pw, :], dn,
+                    preferred_element_type=jnp.float32)
+            else:
+                acc = acc + jax.lax.dot_general(
+                    Gp, xw[p0:p0+pw, :], dn,
+                    preferred_element_type=jnp.float32)
+        out_ref[k * r0:(k + 1) * r0, :] = acc
 
 
 def _kernel_call(x, sidx, w, n, block, wp, mode):
@@ -178,9 +202,10 @@ def _block_ell_raw(x, sidx, w, out_s, out_r, out_w, n, block, wp, mode):
     y = _kernel_call(x, sidx, w, n, block, wp, mode)
     if y is None:
         y = _ell_sum_exact(x, sidx, w)
-    # outlier correction: window escapes and width spills live only in the
-    # COO triples (in-kernel, out-of-window senders produce
-    # lidx >= B + 2Wp, matching no one-hot column)
+    # outlier correction: window/sub-block-slice escapes and width spills
+    # live only in the COO triples (in-kernel, a sender outside its
+    # receiver sub-block's scanned [kR0, kR0 + R0 + 2Wp) slice matches no
+    # one-hot column — the planner guarantees table edges are in-slice)
     return y.at[out_r].add(out_w[:, None] * x[out_s])
 
 
@@ -243,14 +268,23 @@ class BlockEllPlan:
 
 
 def _divisor_block(n_pad: int, wp: int, target: int = 256) -> int | None:
-    """Multiple-of-8 divisor of ``n_pad`` in [max(wp, 128), 2048], nearest
-    to ``target`` (B≈256 measured best on v5e; larger is a mild penalty)."""
+    """Divisor of ``n_pad`` in [max(wp, 128), 2048], nearest to ``target``
+    (B≈256 measured best on v5e; larger is a mild penalty).
+
+    Multiples of ``_R0`` (128) are strongly preferred: they enable the
+    row-sub-blocked one-hot build (W=511 measured 75% vs 55% of the
+    gather roofline with vs without it); only when no 128-multiple
+    divides ``n_pad`` does any multiple-of-8 divisor qualify."""
     lo = max(wp, 128)
     best = None
-    for b in range(lo, min(2048, n_pad) + 1, 8):
-        if n_pad % b == 0:
-            if best is None or abs(b - target) < abs(best - target):
-                best = b
+    for step in (_R0, 8):
+        for b in range(((lo + step - 1) // step) * step,
+                       min(2048, n_pad) + 1, step):
+            if n_pad % b == 0:
+                if best is None or abs(b - target) < abs(best - target):
+                    best = b
+        if best is not None:
+            return best
     return best
 
 
@@ -289,7 +323,14 @@ def plan_block_ell(
         if b is None or b + 2 * wp > n_pad:
             return None, None, None
         lidx = (senders - (receivers // b) * b + wp) % n_pad
-        in_win = lidx < b + 2 * wp
+        # sub-block coverage: the kernel's one-hot build only scans window
+        # columns [k*_R0, k*_R0 + _R0 + 2*wp) for a receiver in row
+        # sub-block k, so an edge is in-window iff it lands in its
+        # receiver's slice (equivalently |offset| <= wp up to sub-block
+        # granularity); everything else spills to the outlier COO.
+        r0 = _R0 if b % _R0 == 0 else b
+        k = (receivers % b) // r0
+        in_win = (lidx >= k * r0) & (lidx < k * r0 + r0 + 2 * wp)
         return b, in_win, int(e - in_win.sum())
 
     # The outlier correction is a scatter (~6 row-traffics per edge,
