@@ -239,17 +239,22 @@ def bench_spmm_banded(
     w = jnp.ones((n, d), jnp.float32)
 
     scale = 1.0 / d
+    # these kernels run in 0.1-0.3 ms, so the default 50-iteration chain
+    # is RTT-dominated on the tunnel and the k-differencing occasionally
+    # degenerates (n_valid < outer) — longer chains keep the signal well
+    # above the noise floor
+    ks = dict(k_hi=150, k_lo=30)
     # unit-weight kernel: what the giant trainers actually run (headline)
     st_fwd = _scan_timeit_stats(
-        lambda x_: banded_spmm_unit(x_, offsets) * scale, x
+        lambda x_: banded_spmm_unit(x_, offsets) * scale, x, **ks
     )
     grad_fn = jax.grad(lambda x_: jnp.sum(banded_spmm_unit(x_, offsets) ** 2))
     st_fwdbwd = _scan_timeit_stats(
-        lambda x_: grad_fn(x_) * (scale * scale * 0.5), x
+        lambda x_: grad_fn(x_) * (scale * scale * 0.5), x, **ks
     )
     # weighted kernel (per-row [n, d] weight table)
     st_fwd_w = _scan_timeit_stats(
-        lambda x_: banded_spmm(x_, w, offsets) * scale, x
+        lambda x_: banded_spmm(x_, w, offsets) * scale, x, **ks
     )
     t_fwd, t_fwdbwd = st_fwd["best_s"], st_fwdbwd["best_s"]
     t_fwd_w = st_fwd_w["best_s"]
