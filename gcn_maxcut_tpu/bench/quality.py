@@ -203,15 +203,26 @@ def run_quality_suite(
             )
             rand.append(rc)
             if refine:
-                # attribution ablation: the same greedy-flip budget applied
-                # to the randomized baseline's best assignment — isolates
+                # attribution ablation: the same multi-start greedy-flip
+                # decoder applied to the randomized arm's starts (its
+                # best-of-10k assignment + uniform restarts) — isolates
                 # the GCN's contribution from the local search's
-                from gcn_maxcut_tpu.eval.decode import refine_with_local_search
+                from gcn_maxcut_tpu.baselines.local_search import (
+                    greedy_flip_local_search,
+                )
 
                 ra_pad = np.zeros(g.n_pad, np.int32)
                 ra_pad[: ra.shape[0]] = ra
-                _, rr = refine_with_local_search(g, jnp.asarray(ra_pad))
-                refined_rand.append(float(rr))
+                rng_np = np.random.default_rng(8000 + s + idx)
+                starts_np = [ra_pad]
+                for _ in range(3):
+                    u = rng_np.integers(0, 3, g.n_pad).astype(np.int32)
+                    u[:3] = [0, 1, 2]
+                    starts_np.append(u)
+                _, rcuts = jax.vmap(
+                    lambda a: greedy_flip_local_search(g, a)
+                )(jnp.asarray(np.stack(starts_np)))
+                refined_rand.append(float(rcuts.max()))
         per_size[s] = {
             "simple": float(np.mean(simple)),
             "post": float(np.mean(post)),

@@ -96,6 +96,42 @@ def refine_with_local_search(
     )
 
 
+def refine_multi_start(
+    g: Graph,
+    probs: jnp.ndarray,
+    key: jax.Array,
+    iterations: int = 200,
+    starts: int = 4,
+    k: int = 3,
+    num_terminals: int = 3,
+    max_steps: int = 500,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy-flip refinement from the top-``starts`` sampled assignments
+    (plus the argmax decode), best result returned.
+
+    The single-start refiner climbs from ONE local-search basin; vmapping
+    the climb over the best few sampled rounding outcomes explores
+    ``starts`` basins for nearly the same wall time (the vmapped
+    ``while_loop`` runs all climbs in lockstep on an otherwise
+    underutilized chip at these sizes).  Extends the hybrid decoder; no
+    reference analog.
+    """
+    from gcn_maxcut_tpu.baselines.local_search import greedy_flip_local_search
+
+    samples = sample_partitions(probs, key, iterations, num_terminals)
+    cuts = jax.vmap(lambda a: hard_cut_value(g, a))(samples)
+    top = jnp.argsort(cuts)[-max(1, starts - 1):]
+    argmax_start = simple_assignment(probs, num_terminals)[None]
+    starts_asn = jnp.concatenate(
+        [samples[top].astype(jnp.int32), argmax_start.astype(jnp.int32)]
+    )
+    asns, rcuts = jax.vmap(
+        lambda a: greedy_flip_local_search(g, a, k, num_terminals, max_steps)
+    )(starts_asn)
+    best = jnp.argmax(rcuts)
+    return asns[best], rcuts[best]
+
+
 def terminal_permutation_search(
     g: Graph, probs: jnp.ndarray, num_terminals: int = 3
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -189,3 +189,33 @@ def test_enhanced_baseline_stats():
     assert rec["solver_cut"] >= rec["randomized_cut"] - 1e-6
     assert "flow_min_cut_value" in rec
     assert ds.baseline_stats is stats
+
+
+def test_refine_multi_start_beats_or_matches_single():
+    """The multi-start climb explores >= the single-start basin, so its cut
+    is never worse; starts=1 path also works through the harness."""
+    from gcn_maxcut_tpu.eval.decode import refine_multi_start
+
+    specs = [generate_graph(n=40, d=5, seed=33)]
+    ds = process_graphs(specs, DataConfig(max_nodes=48))
+    g = ds.graphs[0]
+    params = gcn_softmax_init(jax.random.PRNGKey(0), 48, 16, 3)
+    res1 = eval_single_graph(
+        params, g, jax.random.PRNGKey(5), 30, refine=True, refine_starts=1,
+        measure_times=False,
+    )
+    res4 = eval_single_graph(
+        params, g, jax.random.PRNGKey(5), 30, refine=True, refine_starts=4,
+        measure_times=False,
+    )
+    assert res1["success"] and res4["success"]
+    assert res4["refined_cut"] >= res1["post_cut"] - 1e-6
+    np.testing.assert_array_equal(res4["refined_assignment"][:3], [0, 1, 2])
+    # direct API: assignment valid, cut consistent
+    from gcn_maxcut_tpu.core.graph import dense_adjacency
+    from gcn_maxcut_tpu.models.gcn import gcn_softmax_apply
+    from gcn_maxcut_tpu.objectives.cut_loss import hard_cut_value
+
+    probs = gcn_softmax_apply(params, g, dense_adjacency(g, width=48))
+    asn, cut = refine_multi_start(g, probs, jax.random.PRNGKey(5), 30, 4)
+    assert float(cut) == float(hard_cut_value(g, asn))
