@@ -108,6 +108,7 @@ def _cmd_test(args) -> int:
         params, ds, sizes,
         post_processing_iterations=args.iterations,
         refine=args.refine,
+        refine_starts=args.refine_starts,
     )
     analysis = analyze_results(results, by_size, sizes)
     print_analysis_report(analysis, sizes)
@@ -390,6 +391,14 @@ def main(argv=None) -> int:
         "(DEFAULT: on; costs ~0.2-0.4s per graph and lifts cuts to "
         "96-99%% of the anytime solver — see PARITY.md §2; "
         "--no-refine reproduces the reference's two-decoder contract)",
+    )
+    e.add_argument(
+        "--refine-starts",
+        type=int,
+        default=4,
+        help="local-search starts for the refined decode: top N-1 sampled "
+        "assignments + the argmax, climbed in one vmapped while_loop "
+        "(1 = single-start from the post-processed best)",
     )
     e.add_argument("--output", default=None)
     e.set_defaults(fn=_cmd_test)
