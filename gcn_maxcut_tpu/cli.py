@@ -240,6 +240,34 @@ def _cmd_bench(args) -> int:
 
         res = run_quality_suite(recipe=args.recipe)
         print(json.dumps({"quality": res}, default=float))
+    if args.what == "hybrid":
+        # hybrid data x graph parallelism demo: a small graph batch over a
+        # (data, graph) 2-D mesh (SURVEY §2.9; 2 x n/2 on multi-device,
+        # degenerate 1 x 1 on a single chip)
+        import jax as _jax
+        import numpy as _np
+
+        from gcn_maxcut_tpu.data.generate import random_regular_edges
+        from gcn_maxcut_tpu.parallel.giant import GiantConfig
+        from gcn_maxcut_tpu.parallel.hybrid import train_hybrid
+
+        ndev = _jax.device_count()
+        r_ax = 2 if ndev % 2 == 0 and ndev > 1 else 1
+        n = max(256, args.n // 100)
+        lists = []
+        for s in range(r_ax):
+            e = random_regular_edges(n, args.d, seed=s)
+            lists.append((
+                _np.concatenate([e[:, 0], e[:, 1]]),
+                _np.concatenate([e[:, 1], e[:, 0]]),
+            ))
+        res = train_hybrid(
+            lists, n,
+            GiantConfig(dim_embedding=32, hidden_dim=16,
+                        number_epochs=args.giant_epochs, epochs_per_call=10),
+            mesh_shape=(r_ax, ndev // r_ax),
+        )
+        print(json.dumps({"hybrid": res}, default=float))
     return 0
 
 
@@ -423,7 +451,7 @@ def main(argv=None) -> int:
     b.add_argument(
         "--what",
         choices=["spmm", "banded", "train", "post", "giant", "scaling",
-                 "kway", "quality", "all"],
+                 "kway", "quality", "hybrid", "all"],
         default="all",
     )
     b.add_argument(
