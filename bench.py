@@ -123,7 +123,11 @@ def main():
             banded_unit_fwd=_kernel_entry(
                 banded["fwd_stats"], eb, banded["banded_roofline_edges_per_s"]
             ),
-            # fwd+bwd = 2x the fwd stream (backward = same kernel on dy)
+            # fwd+bwd = 2x the fwd stream (backward = same kernel on dy).
+            # NOTE: the n=131k working set straddles VMEM, so these
+            # sol_frac values are vs an HBM bound the chained run can
+            # legitimately exceed (PARITY §3 regime caveat); the
+            # *_hbm_regime row below is the HBM-resident truth.
             banded_unit_fwdbwd=_kernel_entry(
                 banded["fwdbwd_stats"], eb,
                 banded["banded_roofline_edges_per_s"] / 2.0,
@@ -131,6 +135,17 @@ def main():
             banded_weighted_fwd=_kernel_entry(
                 banded["weighted_fwd_stats"], eb,
                 banded["weighted_roofline_edges_per_s"],
+            ),
+            # true HBM-resident regime (1.25M rows, 1.3 GB traffic): the
+            # platform caps pallas_call streams at ~330-350 GB/s here
+            # (sol_frac is vs the 819 GB/s stream roofline; the n=131k
+            # rows above run partially VMEM-resident — see PARITY §3)
+            banded_unit_fwd_hbm_regime=_kernel_entry(
+                banded["hbm_regime_fwd_stats"],
+                banded["hbm_regime_n"] * banded["d"],
+                banded["hbm_regime_n"] * banded["d"]
+                / (2 * banded["hbm_regime_n"] * banded["feature_dim"] * 4
+                   / 819e9),
             ),
         )
         print(

@@ -290,13 +290,39 @@ def bench_spmm_banded(
     res["weighted_fraction_of_banded_roofline"] = (
         res["weighted_fwd_edges_per_s"] / res["weighted_roofline_edges_per_s"]
     )
+
+    # HBM-resident regime: at n=131k the working set (~134 MB in+out)
+    # straddles VMEM, and chained iterations run partially VMEM-resident —
+    # apparent bandwidth can exceed HBM peak (2 TB/s measured).  A 1.25M-row
+    # instance (1.3 GB traffic) measures the kernel's true HBM-resident
+    # rate, which on this environment caps at ~330-350 GB/s for ANY
+    # pallas_call (probed exhaustively: DMA splitting, manual vs auto
+    # pipelining, input_output_aliases, block 64-7104, width 128-2048,
+    # dimension_semantics — all flat) while XLA fusions stream ~660 GB/s.
+    n_big = 1_250_304
+    xb = jax.random.normal(jax.random.PRNGKey(2), (n_big, feature_dim),
+                           jnp.float32)
+    st_big = _scan_timeit_stats(
+        lambda x_: banded_spmm_unit(x_, offsets) * scale, xb,
+        k_hi=20, k_lo=4,
+    )
+    e_big = n_big * d
+    res.update(
+        hbm_regime_n=n_big,
+        hbm_regime_fwd_edges_per_s=e_big / st_big["best_s"],
+        hbm_regime_fwd_stats=st_big,
+        hbm_regime_gbps=2 * n_big * feature_dim * 4 / st_big["best_s"] / 1e9,
+    )
     logger.info(
         "banded spmm n=%d d=%d W=%d: unit fwd %.2e edges/s (%.0f%% of stream "
-        "SoL), unit fwd+bwd %.2e, weighted fwd %.2e (%.0f%%)",
+        "SoL), unit fwd+bwd %.2e, weighted fwd %.2e (%.0f%%); HBM-resident "
+        "regime n=%d: %.2e edges/s (%.0f GB/s)",
         n, d, bandwidth, res["fwd_edges_per_s"],
         100 * res["fraction_of_banded_roofline"], res["fwdbwd_edges_per_s"],
         res["weighted_fwd_edges_per_s"],
         100 * res["weighted_fraction_of_banded_roofline"],
+        res["hbm_regime_n"], res["hbm_regime_fwd_edges_per_s"],
+        res["hbm_regime_gbps"],
     )
     return res
 
