@@ -152,10 +152,11 @@ def _halo_kernel(
         scratch[slot, Wp + B : Wp + B + Wp, :] = halo_post[:]
 
     x_win = scratch[slot]
+    # f32 accumulation; bf16 windows promote via the f32 weight multiply
     acc = jnp.zeros((B, F), jnp.float32)
     for k, o in enumerate(offsets):
         acc = acc + w_ref[:, k : k + 1] * x_win[Wp + o : Wp + o + B, :]
-    out_ref[:] = acc
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def halo_banded_spmm(
@@ -187,6 +188,12 @@ def halo_banded_spmm(
     if int(jax.lax.axis_size(axis_name)) == 1:
         from gcn_maxcut_tpu.ops.pallas_banded import _banded_spmm_raw
 
+        if x.dtype != jnp.float32:
+            # the weighted circulant kernel is f32-only (exactness
+            # contract); match the halo kernel's bf16-stream semantics
+            return _banded_spmm_raw(
+                x.astype(jnp.float32), w, offsets, block
+            ).astype(x.dtype)
         return _banded_spmm_raw(x, w, offsets, block)
     if F % 128 and not _interpreting():
         # Mosaic DMA slices need 128-aligned lanes on real hardware (the
@@ -219,11 +226,11 @@ def halo_banded_spmm(
         out_specs=pl.BlockSpec(
             (block, F), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_local, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_local, F), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, block + 2 * Wp, F), jnp.float32),  # window
-            pltpu.VMEM((Wp, F), jnp.float32),                 # halo_pre
-            pltpu.VMEM((Wp, F), jnp.float32),                 # halo_post
+            pltpu.VMEM((2, block + 2 * Wp, F), x.dtype),      # window
+            pltpu.VMEM((Wp, F), x.dtype),                     # halo_pre
+            pltpu.VMEM((Wp, F), x.dtype),                     # halo_post
             pltpu.SemaphoreType.DMA((2, 3)),                  # local window
             pltpu.SemaphoreType.DMA((2,)),                    # send sems
             pltpu.SemaphoreType.DMA((2,)),                    # recv sems
@@ -368,10 +375,13 @@ def _packed_halo_kernel(
         scratch[slot, Wp + B : Wp + B + Wp, :] = halo_post[:]
 
     x_win = scratch[slot]
+    # f32 accumulation over (possibly bf16) streamed windows — same
+    # contract as the single-chip unit kernels (round 4: bf16 halves the
+    # byte-based pallas stream ceiling at HBM-resident sizes)
     acc = jnp.zeros((B, L), jnp.float32)
     for o in offsets:
-        acc = acc + x_win[Wp + o : Wp + o + B, :]
-    out_ref[:] = acc
+        acc = acc + x_win[Wp + o : Wp + o + B, :].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _packed_halo_xla(p, offsets, r, F, axis_name):
@@ -446,11 +456,11 @@ def _halo_packed_raw(x, offsets, r, axis_name, block, collective_id):
         out_specs=pl.BlockSpec(
             (blk, L), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((m_loc, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_loc, L), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, blk + 2 * Wp, L), jnp.float32),    # window
-            pltpu.VMEM((Wp, L), jnp.float32),                 # halo_pre
-            pltpu.VMEM((Wp, L), jnp.float32),                 # halo_post
+            pltpu.VMEM((2, blk + 2 * Wp, L), x.dtype),        # window
+            pltpu.VMEM((Wp, L), x.dtype),                     # halo_pre
+            pltpu.VMEM((Wp, L), x.dtype),                     # halo_post
             pltpu.SemaphoreType.DMA((2, 3)),                  # local window
             pltpu.SemaphoreType.DMA((2,)),                    # send sems
             pltpu.SemaphoreType.DMA((2,)),                    # recv sems

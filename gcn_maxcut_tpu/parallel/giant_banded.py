@@ -200,6 +200,15 @@ class PackedHaloGiantConfig:
     block: int | None = None        # packed-row block (None = auto)
     seed: int = 0
     axis: str = "graph"
+    agg_dtype: str | None = "bfloat16"  # bf16 aggregation streams (f32
+                                    # in-kernel accumulation): the pallas
+                                    # stream ceiling is byte-based, so
+                                    # halving the window bytes halves the
+                                    # per-layer aggregation time at
+                                    # HBM-resident shard sizes; measured
+                                    # quality-neutral on the single-chip
+                                    # twin (93.55% vs 93.56% at 10M).
+                                    # None = full-f32 streams.
 
 
 def make_packed_halo_step(
@@ -237,9 +246,13 @@ def make_packed_halo_step(
 
         def spmm(h):
             L = h.shape[1]
-            return halo_banded_spmm_unit_packed(
-                h.reshape(n_loc, L // r), offsets, r, axis, config.block
-            ).reshape(m_shard, L)
+            hh = h.reshape(n_loc, L // r)
+            if config.agg_dtype is not None:
+                hh = hh.astype(config.agg_dtype)
+            out = halo_banded_spmm_unit_packed(
+                hh, offsets, r, axis, config.block
+            )
+            return out.astype(jnp.float32).reshape(m_shard, L)
 
         def loss_fn(conv_params, wide_rows):
             k1w = jnp.kron(eye_r, conv_params["conv1"]["w"])

@@ -86,13 +86,16 @@ def test_packed_halo_giant_matches_single_chip_demo():
     kw = dict(d=4, dim_embedding=32, learning_rate=5e-3,
               epochs=10, epochs_per_call=5, bandwidth=15, seed=0)
     mesh = make_mesh(("graph",), devices=jax.devices()[:n_dev])
-    cfg = PackedHaloGiantConfig(r=8, **kw)
+    # f32 streams on both sides: this test isolates the SHARDING exactness
+    # (bf16 default streams round the sharded wrap vs circulant paths
+    # differently at the last bit, which is dtype noise, not a bug)
+    cfg = PackedHaloGiantConfig(r=8, agg_dtype=None, **kw)
     with pltpu.force_tpu_interpret_mode():
         multi = train_halo_giant_packed(
             n_shard=n // n_dev, config=cfg, mesh=mesh
         )
         single = train_banded_giant_packed(
-            n=n, hidden_dim=16, r=8, num_classes=3, **kw
+            n=n, hidden_dim=16, r=8, num_classes=3, agg_dtype=None, **kw
         )
     assert multi["n"] == single["n"] == n
     np.testing.assert_allclose(

@@ -284,3 +284,61 @@ def test_weighted_mxu_split_barrier_survives_lowering():
             lambda a, b: _banded_spmm_raw(a, b, offsets, 64, "mxu")
         )(x, w)
     assert "optimization_barrier" in str(jaxpr)
+
+
+def test_unit_kernels_bf16_streams():
+    """bf16 unit-kernel streams (round 4): output dtype follows input,
+    values match the f32 path to bf16 read tolerance (f32 in-kernel
+    accumulation), fwd and bwd, row-window and packed variants."""
+    from gcn_maxcut_tpu.ops.pallas_banded import (
+        banded_spmm_unit, banded_spmm_unit_packed, banded_spmm_unit_xla,
+        pack_interleaved, unpack_interleaved)
+
+    rng = np.random.default_rng(7)
+    offsets = (1, -1, 9, -9)
+    n, F = 2048, 128
+    x = jnp.asarray(rng.normal(size=(n, F)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        y16 = banded_spmm_unit(x.astype(jnp.bfloat16), offsets)
+        assert y16.dtype == jnp.bfloat16
+        ref = banded_spmm_unit_xla(x, offsets)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(
+            np.asarray(y16, np.float32) / scale, np.asarray(ref) / scale,
+            atol=3e-2,
+        )
+        # backward: cotangent of a bf16 output is bf16; same kernel
+        g16 = jax.grad(
+            lambda z: jnp.sum(
+                banded_spmm_unit(z, offsets).astype(jnp.float32) ** 2
+            )
+        )(x.astype(jnp.bfloat16))
+        gref = jax.grad(
+            lambda z: jnp.sum(banded_spmm_unit_xla(z, offsets) ** 2)
+        )(x)
+        gs = float(jnp.max(jnp.abs(gref)))
+        np.testing.assert_allclose(
+            np.asarray(g16, np.float32) / gs, np.asarray(gref) / gs,
+            atol=5e-2,
+        )
+        # packed variant
+        r = 8
+        xp = pack_interleaved(x[:, :16], r).astype(jnp.bfloat16)
+        yp = banded_spmm_unit_packed(xp, offsets, r)
+        assert yp.dtype == jnp.bfloat16
+        y = unpack_interleaved(yp.astype(jnp.float32), r)
+        refp = banded_spmm_unit_xla(x[:, :16], offsets)
+        sp = float(jnp.max(jnp.abs(refp)))
+        np.testing.assert_allclose(
+            np.asarray(y) / sp, np.asarray(refp) / sp, atol=3e-2
+        )
+
+
+def test_weighted_kernel_rejects_bf16():
+    from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm
+
+    x = jnp.ones((256, 128), jnp.bfloat16)
+    w = jnp.ones((256, 2), jnp.float32)
+    with pytest.raises(ValueError, match="f32"):
+        with pltpu.force_tpu_interpret_mode():
+            banded_spmm(x, w, (1, -1))

@@ -200,3 +200,33 @@ def test_packed_halo_grad_is_transpose():
     neg = tuple(-o for o in offsets)
     ref = np.asarray(banded_spmm_unit_xla(jnp.asarray(ct), neg))
     np.testing.assert_allclose(g_node, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_halo_spmm_bf16_streams():
+    """bf16 halo streams (round 4): output dtype follows input, values
+    within bf16 read tolerance of the f32 path, RDMA wrap included."""
+    n_dev, block, n_shard, F = 4, 16, 64, 128
+    offsets = (1, -1, 5, -5)
+    n = n_dev * n_shard
+    rng = np.random.default_rng(3)
+    xg = rng.normal(size=(n, F)).astype(np.float32)
+    wg = np.ones((n, len(offsets)), np.float32)
+    x_sh = jnp.asarray(xg.reshape(n_dev, n_shard, F)).astype(jnp.bfloat16)
+    w_sh = jnp.asarray(wg.reshape(n_dev, n_shard, len(offsets)))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("graph",))
+    fn = jax.shard_map(
+        lambda x, w: halo_banded_spmm(x[0], w[0], offsets, "graph", block)[None],
+        mesh=mesh,
+        in_specs=(P("graph"), P("graph")),
+        out_specs=P("graph"),
+        check_vma=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        y = fn(x_sh, w_sh)
+    assert y.dtype == jnp.bfloat16
+    expect = _expect(xg, wg, offsets)
+    scale = np.abs(expect).max()
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32).reshape(n, F) / scale, expect / scale,
+        atol=3e-2,
+    )
