@@ -140,12 +140,13 @@ def main():
             # platform caps pallas_call streams at ~330-350 GB/s here
             # (sol_frac is vs the 819 GB/s stream roofline; the n=131k
             # rows above run partially VMEM-resident — see PARITY §3)
+            # same roofline formula as the small-n row (it is n-independent:
+            # chip HBM GB/s / bytes-per-edge), so the denominator tracks the
+            # chip spec bench_spmm_banded ran with rather than a literal
             banded_unit_fwd_hbm_regime=_kernel_entry(
                 banded["hbm_regime_fwd_stats"],
                 banded["hbm_regime_n"] * banded["d"],
-                banded["hbm_regime_n"] * banded["d"]
-                / (2 * banded["hbm_regime_n"] * banded["feature_dim"] * 4
-                   / 819e9),
+                banded["banded_roofline_edges_per_s"],
             ),
         )
         print(

@@ -1,0 +1,244 @@
+"""Decompose the 10M-node packed giant epoch (PARITY §4: 64.2 ms) into its
+traffic components by ablation, on the real TPU.
+
+VERDICT r4 #1 says "the 10M trainer's epochs run at the pallas stream
+ceiling, so ~2x is plausibly on the table".  Before attacking the banded
+kernel with XLA formulations, establish what the epoch actually spends:
+the six bf16 aggregation streams account for only ~6 x 640 MB / 330 GB/s
+~= 12 ms of the 64; the Adam update on the [1.25M, 256] f32 embedding is
+~9 GB of HBM traffic ~= 13 ms by itself at XLA's ~660 GB/s.
+
+Method: the giant trainer's own chunked-epochs timing (many epochs per
+jit, host fetch per chunk — the measurement PARITY §4 calls stable), on
+variants that ablate one component each:
+
+  base       default trainer config (bf16 aggregation streams)
+  f32agg     full-f32 aggregation streams (the pre-round-4 default)
+  no_spmm    aggregations replaced by identity (keeps scale/bias/relu)
+  sgd        optax.sgd instead of adam (ablates the moment traffic)
+  mubf16     optax.adam(mu_dtype=bfloat16) (halves the mu read+write)
+  fwd_only   loss forward only per epoch (no grad, no update)
+
+Run:  python experiments/epoch_anatomy.py [n] [epochs_per_call] [chunks]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+RESULTS = "/tmp/epoch_anatomy_results.jsonl"
+
+# tunnel hang recovery (see weighted_probe.py): retried child process,
+# per-variant checkpointing so a retry resumes where the hang struck
+if os.environ.get("PROBE_CHILD") != "1" and __name__ == "__main__":
+    for attempt in range(6):
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=dict(os.environ, PROBE_CHILD="1"),
+                timeout=900,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            print(f"[probe] attempt {attempt} timed out; retrying", flush=True)
+            continue
+        if rc == 0:
+            sys.exit(0)
+        print(f"[probe] attempt {attempt} rc={rc}; retrying", flush=True)
+    sys.exit(1)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gcn_maxcut_tpu.models.gcn import gcn_conv_init
+from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm_unit_packed
+
+
+def build_step(
+    n: int,
+    variant: str,
+    d: int = 8,
+    dim_embedding: int = 32,
+    bandwidth: int = 63,
+    r: int = 8,
+    seed: int = 0,
+    epochs_per_call: int = 10,
+    learning_rate: float = 1e-3,
+):
+    """Mirror of bench.giant_demo.train_banded_giant_packed's step with
+    one component ablated per ``variant`` (see module docstring)."""
+    G = 16
+    num_classes = 3
+    m = n // r
+    rng = np.random.default_rng(seed)
+    half = rng.choice(np.arange(1, bandwidth + 1), size=d // 2, replace=False)
+    offsets = tuple(int(o) for s in half for o in (s, -s))
+    e_undirected = n * d // 2
+    inv_d = 1.0 / d
+    agg_dtype = None if variant == "f32agg" else "bfloat16"
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "conv1": gcn_conv_init(k1, dim_embedding, G),
+        "conv2": gcn_conv_init(k2, G, G),
+        "embed": jax.random.normal(k3, (m, r * dim_embedding), jnp.float32)
+        * 0.1,
+    }
+    if variant == "sgd":
+        optimizer = optax.sgd(learning_rate)
+    elif variant == "mubf16":
+        optimizer = optax.adam(learning_rate, mu_dtype=jnp.bfloat16)
+    else:
+        optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, r * G), 1)
+    class_ok = (lane % G < num_classes).astype(jnp.float32)
+    grp = lane // G
+    term_cols = (grp < num_classes).astype(jnp.float32)
+    term_onehot = ((lane % G) == grp).astype(jnp.float32) * term_cols
+    eye_r = jnp.eye(r, dtype=jnp.float32)
+    sum_bcast = jnp.kron(eye_r, jnp.ones((G, G), jnp.float32))
+
+    def _group_max(h, g=16):
+        return jax.lax.reduce_window(
+            h, -jnp.inf, jax.lax.max, (1, g), (1, g), "VALID"
+        )
+
+    def _bcast(g16, g=16):
+        return jnp.repeat(g16, g, axis=1)
+
+    def spmm(h):
+        if variant == "no_spmm":
+            return h
+        L = h.shape[1]
+        hh = h.reshape(n, L // r)
+        if agg_dtype is not None:
+            hh = hh.astype(agg_dtype)
+        out = banded_spmm_unit_packed(hh, offsets, r)
+        return out.astype(jnp.float32).reshape(m, L)
+
+    def loss_fn(params):
+        k1w = jnp.kron(eye_r, params["conv1"]["w"])
+        k2w = jnp.kron(eye_r, params["conv2"]["w"])
+        b1 = jnp.tile(params["conv1"]["b"], r)
+        b2 = jnp.tile(params["conv2"]["b"], r)
+        h = params["embed"] @ k1w
+        h = spmm(h) * inv_d + b1
+        h = jax.nn.relu(h)
+        h = h @ k2w
+        h = spmm(h) * inv_d + b2
+        gmax = jax.lax.stop_gradient(
+            _bcast(_group_max(h + (class_ok - 1.0) * 1e9))
+        )
+        e = jnp.exp(h - gmax) * class_ok
+        probs = e / (e @ sum_bcast)
+        row0 = jnp.zeros((m, 1), jnp.float32).at[0, 0].set(1.0)
+        is_term = row0 * term_cols
+        pinned_hard = is_term * term_onehot + (1.0 - is_term) * probs
+        pinned = jax.lax.stop_gradient(pinned_hard - probs) + probs
+        hard = jax.lax.stop_gradient(
+            (pinned >= _bcast(_group_max(pinned))).astype(jnp.float32)
+            * class_ok
+        )
+        onehot = jax.lax.stop_gradient(hard - pinned) + pinned
+        same = jnp.vdot(onehot, spmm(onehot))
+        return -(e_undirected - 0.5 * same)
+
+    if variant == "fwd_only":
+
+        @jax.jit
+        def steps(params, opt_state, _):
+            def body(carry, _):
+                params, opt_state = carry
+                loss = loss_fn(params)
+                # data dependency so scan iterations cannot be CSE'd
+                params = dict(params, embed=params["embed"] + 1e-30 * loss)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=epochs_per_call
+            )
+            return params, opt_state, losses
+
+    else:
+
+        @jax.jit
+        def steps(params, opt_state, _):
+            def body(carry, _):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=epochs_per_call
+            )
+            return params, opt_state, losses
+
+    return steps, params, opt_state
+
+
+def time_variant(n, variant, epochs_per_call=10, chunks=4):
+    steps, params, opt_state = build_step(
+        n, variant, epochs_per_call=epochs_per_call
+    )
+    t0 = time.perf_counter()
+    params, opt_state, losses = steps(params, opt_state, None)
+    float(np.asarray(losses)[-1])
+    compile_s = time.perf_counter() - t0
+    samples = []
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        params, opt_state, losses = steps(params, opt_state, None)
+        float(np.asarray(losses)[-1])  # hard sync
+        samples.append((time.perf_counter() - t0) / epochs_per_call)
+    return {
+        "variant": variant,
+        "epoch_ms_best": min(samples) * 1e3,
+        "epoch_ms_mean": sum(samples) / len(samples) * 1e3,
+        "epoch_ms_all": [s * 1e3 for s in samples],
+        "compile_s": compile_s,
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_002_432
+    epc = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    variants = sys.argv[4].split(",") if len(sys.argv) > 4 else [
+        "base", "f32agg", "no_spmm", "sgd", "mubf16", "fwd_only",
+    ]
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    done = set()
+    results = []
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            for line in f:
+                rec = json.loads(line)
+                done.add(rec["variant"])
+                results.append(rec)
+    for v in variants:
+        if v in done:
+            continue
+        r = time_variant(n, v, epc, chunks)
+        print(json.dumps(r), flush=True)
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        results.append(r)
+    with open("/tmp/epoch_anatomy.json", "w") as f:
+        json.dump({"n": n, "epochs_per_call": epc, "results": results}, f,
+                  indent=2)
+
+
+if __name__ == "__main__":
+    main()

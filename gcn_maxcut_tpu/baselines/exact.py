@@ -261,14 +261,20 @@ def anytime_solver(
         if solution_limit is not None and restarts >= solution_limit:
             break
         key, sub = jax.random.split(key)
-        asn, cut = _sa_restart_batch(
-            g, sub, k, num_fixed, sa_steps, batch_restarts
+        # clamp the final batch so the CPLEX SolutionLimit analog is exact
+        # (not enforced at batch granularity); costs one extra compile only
+        # when solution_limit % batch_restarts != 0
+        batch = (
+            batch_restarts
+            if solution_limit is None
+            else min(batch_restarts, solution_limit - restarts)
         )
+        asn, cut = _sa_restart_batch(g, sub, k, num_fixed, sa_steps, batch)
         cut = float(cut)
         if cut > best_cut:
             best_cut = cut
             best_asn = np.asarray(asn)[:n]
-        restarts += batch_restarts
+        restarts += batch
         if restarts >= batch_restarts and time.perf_counter() - t0 > time_limit * 0.9:
             break
     return {

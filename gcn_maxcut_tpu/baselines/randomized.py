@@ -45,26 +45,6 @@ def _sample_and_score(
     return asn, cuts
 
 
-def _replay_early_stop(
-    cuts: np.ndarray, threshold: float, patience: int
-) -> Tuple[int, int]:
-    """Replay the reference's sequential early-stop over a cut sequence.
-
-    Returns ``(best_index, iterations_used)``: the loop stops after
-    ``patience`` consecutive iterations whose improvement over the running
-    best is ``<= threshold`` (reference ``RandomizedMaxCut.py:110-121``).
-    """
-    best, best_idx, stall = -np.inf, 0, 0
-    for i, c in enumerate(cuts):
-        if c - best > threshold:
-            best, best_idx, stall = c, i, 0
-        else:
-            stall += 1
-            if stall >= patience:
-                return best_idx, i + 1
-    return best_idx, len(cuts)
-
-
 def randomized_k_way_maxcut(
     g: Graph,
     k: int = 3,
@@ -93,7 +73,10 @@ def randomized_k_way_maxcut(
         key, sub = jax.random.split(key)
         asn, cuts = _sample_and_score(g, sub, chunk_size, k, num_fixed)
         cuts_np = np.asarray(cuts)[:chunk]
-        # replay sequential semantics relative to the global running best
+        # replay the reference's sequential early-stop semantics relative
+        # to the global running best: stop after ``patience`` consecutive
+        # iterations whose improvement over it is <= ``threshold``
+        # (reference ``RandomizedMaxCut.py:110-121``)
         stall = global_stall
         stopped = False
         for i, c in enumerate(cuts_np):

@@ -34,16 +34,14 @@ logger = get_logger(__name__)
 
 @functools.partial(jax.jit, static_argnames=("aggregation",))
 def _forward(params, g: Graph, aggregation: str = "auto"):
-    from gcn_maxcut_tpu.train.config import TrainingConfig
     from gcn_maxcut_tpu.train.loop import _resolve_dense_aggregation
 
     x = dense_adjacency(g, width=params["conv1"]["w"].shape[0])
     # dense-MXU aggregation for small padded graphs — literally the same
     # rule as training (``aggregation`` overrides, e.g. "sparse" to rule
     # out 1e-5-level dense/sparse drift when comparing decoders)
-    cfg = TrainingConfig(n_nodes=8, aggregation=aggregation)
     a = (dense_adjacency(g, values="mask")
-         if _resolve_dense_aggregation(cfg, g.n_pad) else None)
+         if _resolve_dense_aggregation(aggregation, g.n_pad) else None)
     return gcn_softmax_apply(
         {"conv1": params["conv1"], "conv2": params["conv2"]}, g, x, a_dense=a
     )

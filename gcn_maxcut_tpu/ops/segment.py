@@ -145,18 +145,24 @@ def spmm(
     5.0-5.7e8 edges/s at n=100k d=8 F=128 across 3 runs;
     ``experiments/gather_bf16_probe.py``) at bf16 read precision (~3
     decimal digits) — an opt-in lever, not a 2x.  Graphs with a
-    block-ELL plan ignore the request — the f32 Pallas kernel (74-77% of
-    the gather roofline) is far past the gather ceiling already.
+    block-ELL plan ignore the request entirely (whether made via the
+    kwarg or by pre-casting ``x`` to bf16): the f32 Pallas kernel
+    (74-77% of the gather roofline) is far past the gather ceiling
+    already, so bf16 input is cast back to f32 there.
 
     NOTE: the ELL and block-ELL backwards assume a symmetric adjacency
     (always true for graphs built with ``symmetrize=True``, the framework
     default).
     """
-    if g.bell_block is not None and x.dtype == jnp.float32:
+    if g.bell_block is not None:
+        # the plan wins over any dtype request (including pre-cast bf16
+        # input — advisor r4): the f32 kernel is already past the gather
+        # ceiling, so a quiet fall-through to the gather path would be a
+        # perf downgrade, not an optimization
         if edge_weights is None:
-            return _spmm_block_ell(g, x, "mask")
+            return _spmm_block_ell(g, x.astype(jnp.float32), "mask")
         if edge_weights is g.weights:
-            return _spmm_block_ell(g, x, "weights")
+            return _spmm_block_ell(g, x.astype(jnp.float32), "weights")
     if feature_dtype is not None:
         x = x.astype(feature_dtype)
     if g.ell_senders is not None:

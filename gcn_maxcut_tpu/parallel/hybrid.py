@@ -269,6 +269,10 @@ def train_hybrid(
     ``n`` nodes.  ``mesh_shape=(R, D)``: data x graph axis sizes (default:
     2 x rest of the devices).
     """
+    if config.number_epochs < 1:
+        raise ValueError(
+            f"number_epochs must be >= 1, got {config.number_epochs}"
+        )
     if mesh is None:
         ndev = jax.device_count()
         if mesh_shape is None:

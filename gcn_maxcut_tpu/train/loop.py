@@ -117,21 +117,23 @@ def _embed_rows(embed: jnp.ndarray, n_pad: int) -> jnp.ndarray:
 
 
 def _resolve_dense_aggregation(
-    config: TrainingConfig, n_pad: int, n_graphs: int = 1
+    aggregation: str, n_pad: int, n_graphs: int = 1
 ) -> bool:
     """Trace-time choice of the aggregation backend.
 
-    "dense" turns neighborhood aggregation into an ``n_pad x n_pad`` MXU
-    matmul (and, in adjacency-feature mode, reuses that matrix as the node
-    features with ``W1`` contracted over its first ``n_pad`` rows — the
-    remaining feature columns are identically zero).  Measured ~2x
-    end-to-end over the ELL gather path on the reference recipe (v5e,
-    20 x n500 graphs: 3.95 -> 1.96 ms/epoch).  "auto" picks dense for small
-    padded graphs where the densified batch stays well under HBM budget.
+    ``aggregation`` is the ``TrainingConfig.aggregation`` policy string
+    ("auto" | "dense" | "sparse").  "dense" turns neighborhood aggregation
+    into an ``n_pad x n_pad`` MXU matmul (and, in adjacency-feature mode,
+    reuses that matrix as the node features with ``W1`` contracted over its
+    first ``n_pad`` rows — the remaining feature columns are identically
+    zero).  Measured ~2x end-to-end over the ELL gather path on the
+    reference recipe (v5e, 20 x n500 graphs: 3.95 -> 1.96 ms/epoch).
+    "auto" picks dense for small padded graphs where the densified batch
+    stays well under HBM budget.
     """
-    if config.aggregation == "dense":
+    if aggregation == "dense":
         return True
-    if config.aggregation == "sparse":
+    if aggregation == "sparse":
         return False
     return n_pad <= 2048 and n_graphs * n_pad * n_pad <= (1 << 27)
 
@@ -226,7 +228,7 @@ def make_epoch_fn(
         n_graphs = batch.n_nodes.shape[0]
         n_pad = batch.degrees.shape[-1]
         xs = {"g": batch}
-        if _resolve_dense_aggregation(config, n_pad, n_graphs):
+        if _resolve_dense_aggregation(config.aggregation, n_pad, n_graphs):
             xs["a_mask"] = jax.vmap(
                 lambda g: dense_adjacency(g, values="mask")
             )(batch)
@@ -573,7 +575,7 @@ def evaluate_model(
                 x = _embed_rows(params["embed"], g.n_pad)
             a = (dense_adjacency(g, values="mask")
                  if _resolve_dense_aggregation(
-                     config, g.n_pad,
+                     config.aggregation, g.n_pad,
                      int(dataset_batch.n_nodes.shape[0]),
                  ) else None)
             probs = gcn_softmax_apply(
