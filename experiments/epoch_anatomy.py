@@ -19,6 +19,19 @@ variants that ablate one component each:
   mubf16     optax.adam(mu_dtype=bfloat16) (halves the mu read+write)
   fwd_only   loss forward only per epoch (no grad, no update)
 
+Round-5 measured shares at n=10M (base 64.3 ms): the six bf16
+aggregation streams are only ~7.3 ms; forward non-spmm elementwise is
+~30 ms, backward ~21 ms, Adam-extra ~8.6 ms.  Optimization variants
+attacking those (the epoch is elementwise-traffic-bound, not
+aggregation-bound):
+
+  bf16act        all activations in bf16 (halves every elementwise pass)
+  remat          jax.checkpoint the softmax/STE head (no residual
+                 materialization -> whole-head fusion; recompute is cheap
+                 in a memory-bound epoch)
+  bf16act_remat  both
+  candidate      bf16act + remat + mu_dtype=bfloat16
+
 Run:  python experiments/epoch_anatomy.py [n] [epochs_per_call] [chunks]
 """
 
@@ -94,11 +107,20 @@ def build_step(
     }
     if variant == "sgd":
         optimizer = optax.sgd(learning_rate)
-    elif variant == "mubf16":
+    elif variant in ("mubf16", "candidate"):
         optimizer = optax.adam(learning_rate, mu_dtype=jnp.bfloat16)
     else:
         optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
+    bf16act = variant in ("bf16act", "bf16act_remat", "candidate")
+    remat = variant in ("remat", "bf16act_remat", "candidate")
+    # jax.checkpoint cannot linearize reduce_window (and its init_value
+    # must be a static Python scalar, which pins it to f32), so the
+    # remat/bf16 variants (and "reshmax", which isolates the change) use a
+    # reshape-based group max: reduce_max has full autodiff/linearization
+    # support and follows the operand dtype
+    reshape_max = remat or bf16act or variant in ("reshmax",)
+    act = jnp.bfloat16 if bf16act else jnp.float32
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, r * G), 1)
     class_ok = (lane % G < num_classes).astype(jnp.float32)
@@ -109,6 +131,9 @@ def build_step(
     sum_bcast = jnp.kron(eye_r, jnp.ones((G, G), jnp.float32))
 
     def _group_max(h, g=16):
+        if reshape_max:
+            m_, L_ = h.shape
+            return h.reshape(m_, L_ // g, g).max(axis=-1)
         return jax.lax.reduce_window(
             h, -jnp.inf, jax.lax.max, (1, g), (1, g), "VALID"
         )
@@ -121,37 +146,48 @@ def build_step(
             return h
         L = h.shape[1]
         hh = h.reshape(n, L // r)
-        if agg_dtype is not None:
+        if agg_dtype is not None and not bf16act:
             hh = hh.astype(agg_dtype)
         out = banded_spmm_unit_packed(hh, offsets, r)
-        return out.astype(jnp.float32).reshape(m, L)
+        return out.astype(act).reshape(m, L)
 
-    def loss_fn(params):
-        k1w = jnp.kron(eye_r, params["conv1"]["w"])
-        k2w = jnp.kron(eye_r, params["conv2"]["w"])
-        b1 = jnp.tile(params["conv1"]["b"], r)
-        b2 = jnp.tile(params["conv2"]["b"], r)
-        h = params["embed"] @ k1w
-        h = spmm(h) * inv_d + b1
-        h = jax.nn.relu(h)
-        h = h @ k2w
-        h = spmm(h) * inv_d + b2
+    class_ok_a = class_ok.astype(act)
+    term_cols_a = term_cols.astype(act)
+    term_onehot_a = term_onehot.astype(act)
+    sum_bcast_a = sum_bcast.astype(act)
+
+    def head(h):
         gmax = jax.lax.stop_gradient(
-            _bcast(_group_max(h + (class_ok - 1.0) * 1e9))
+            _bcast(_group_max(h + (class_ok_a - 1.0) * 1e9))
         )
-        e = jnp.exp(h - gmax) * class_ok
-        probs = e / (e @ sum_bcast)
-        row0 = jnp.zeros((m, 1), jnp.float32).at[0, 0].set(1.0)
-        is_term = row0 * term_cols
-        pinned_hard = is_term * term_onehot + (1.0 - is_term) * probs
+        e = jnp.exp(h - gmax) * class_ok_a
+        probs = e / (e @ sum_bcast_a)
+        row0 = jnp.zeros((m, 1), act).at[0, 0].set(1.0)
+        is_term = row0 * term_cols_a
+        pinned_hard = is_term * term_onehot_a + (1.0 - is_term) * probs
         pinned = jax.lax.stop_gradient(pinned_hard - probs) + probs
         hard = jax.lax.stop_gradient(
-            (pinned >= _bcast(_group_max(pinned))).astype(jnp.float32)
-            * class_ok
+            (pinned >= _bcast(_group_max(pinned))).astype(act)
+            * class_ok_a
         )
         onehot = jax.lax.stop_gradient(hard - pinned) + pinned
-        same = jnp.vdot(onehot, spmm(onehot))
+        # f32 reduction (the cut is ~4e7; bf16 accumulation would be junk)
+        same = jnp.vdot(
+            onehot.astype(jnp.float32), spmm(onehot).astype(jnp.float32)
+        )
         return -(e_undirected - 0.5 * same)
+
+    def loss_fn(params):
+        k1w = jnp.kron(eye_r, params["conv1"]["w"]).astype(act)
+        k2w = jnp.kron(eye_r, params["conv2"]["w"]).astype(act)
+        b1 = jnp.tile(params["conv1"]["b"], r).astype(act)
+        b2 = jnp.tile(params["conv2"]["b"], r).astype(act)
+        h = params["embed"].astype(act) @ k1w
+        h = spmm(h) * act(inv_d) + b1
+        h = jax.nn.relu(h)
+        h = h @ k2w
+        h = spmm(h) * act(inv_d) + b2
+        return (jax.checkpoint(head) if remat else head)(h)
 
     if variant == "fwd_only":
 
@@ -217,6 +253,7 @@ def main():
     chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     variants = sys.argv[4].split(",") if len(sys.argv) > 4 else [
         "base", "f32agg", "no_spmm", "sgd", "mubf16", "fwd_only",
+        "bf16act", "remat", "bf16act_remat", "candidate",
     ]
     print(f"devices: {jax.devices()}", file=sys.stderr)
     done = set()
