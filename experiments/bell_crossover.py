@@ -1,0 +1,150 @@
+"""VERDICT r4 #3/#4: measure the block-ELL vs gather routing on semi-local
+graphs and derive the planner's outlier-spill threshold from data.
+
+Graph family: n=100k, d=8 — per node, d/2 banded neighbors (random offsets
+within +-W0) with each endpoint REWIRED to a uniform random node with
+probability eps, then symmetrized.  eps=0 is a perfectly banded graph;
+eps=1 is an expander.  The planner spills rewired edges to the outlier
+COO, so the outlier fraction tracks eps.
+
+For each eps: build the single-shard sharded graph twice (block_ell
+on/off), train 30 epochs on the real chip, and record the AMORTIZED epoch
+time (``measure_epoch_time``, the RTT-cancelling method).  The crossover
+eps (bell stops beating gather) maps to an outlier fraction that becomes
+``plan_block_ell``'s evidence-based ``max_outlier_frac``.
+
+Context (PARITY §5): the published k-way sweep uses a uniform random
+regular graph — an expander whose per-aggregation rate is already at the
+hardware's descriptor-bound gather ceiling (6.9e7 full-epoch edges/s x
+~6 aggregation passes/epoch ~= 4.1e8 edges/s/pass ~= the measured
+4.9-5.3e8 kernel rate).  Block-ELL cannot apply there (nothing bands);
+THIS family is where the routed trainer's >=2x lives.
+
+Run:  python experiments/bell_crossover.py [eps_csv]
+Writes docs/bell_crossover_r5.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+if os.environ.get("PROBE_CHILD") != "1" and __name__ == "__main__":
+    for attempt in range(6):
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=dict(os.environ, PROBE_CHILD="1"),
+                timeout=3000,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            print(f"[probe] attempt {attempt} timed out; retrying", flush=True)
+            continue
+        if rc == 0:
+            sys.exit(0)
+        print(f"[probe] attempt {attempt} rc={rc}; retrying", flush=True)
+    sys.exit(1)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from gcn_maxcut_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+RESULTS = "/root/repo/docs/bell_crossover_r5.json"
+N, D_HALF, W0, SEED = 100_000, 4, 256, 0
+
+
+def semi_local_coo(n, eps, seed):
+    """Banded graph with eps-fraction endpoints rewired uniformly."""
+    rng = np.random.default_rng(seed)
+    offs = rng.choice(np.arange(1, W0 + 1), size=D_HALF, replace=False)
+    s = np.concatenate([np.arange(n) for _ in offs]).astype(np.int64)
+    r = np.concatenate([(np.arange(n) + o) % n for o in offs]).astype(
+        np.int64
+    )
+    rew = rng.random(r.shape[0]) < eps
+    r = np.where(rew, rng.integers(0, n, r.shape[0]), r)
+    keep = s != r
+    s, r = s[keep], r[keep]
+    return np.concatenate([s, r]), np.concatenate([r, s])
+
+
+def run_eps(eps, results):
+    from gcn_maxcut_tpu.parallel.giant import GiantConfig, train_giant_graph
+    from gcn_maxcut_tpu.parallel.partition import shard_graph
+
+    key = f"{eps:g}"
+    if key in results:
+        return
+    senders, receivers = semi_local_coo(N, eps, SEED)
+    # plan diagnostics (host only): what outlier fraction does eps map to?
+    sg_probe, _ = shard_graph(senders, receivers, N, 1, block_ell=True)
+    if sg_probe.bell_out_weights is not None:
+        n_out = float(np.asarray(sg_probe.bell_out_weights > 0).sum())
+    else:
+        n_out = None
+    planned = sg_probe.bell_senders is not None
+    del sg_probe
+
+    row = {
+        "eps": eps,
+        "n": N,
+        "e_directed": int(senders.shape[0]),
+        "planned": planned,
+        "outlier_frac": (
+            None if not planned else n_out / senders.shape[0]
+        ),
+    }
+    base = dict(
+        num_classes=3, dim_embedding=128, hidden_dim=64,
+        number_epochs=30, epochs_per_call=10, seed=SEED, log_every=10,
+    )
+    for name, cfg in (
+        ("gather", GiantConfig(**base)),
+        ("bell", GiantConfig(**base, block_ell=True)),
+    ):
+        if name == "bell" and not planned:
+            row["bell"] = None
+            continue
+        out = train_giant_graph(
+            senders, receivers, N, cfg, measure_throughput=True
+        )
+        row[name] = {
+            "epoch_time_s": out["epoch_time_s_amortized"],
+            "edges_per_s": out["edges_per_s_amortized"],
+            "reliable": out["timing_reliable"],
+            "cut_fraction": out["final_cut"] / (senders.shape[0] // 2),
+        }
+        print(f"eps={eps} {name}: {row[name]}", flush=True)
+    if row.get("bell") and row.get("gather"):
+        row["speedup"] = (
+            row["gather"]["epoch_time_s"] / row["bell"]["epoch_time_s"]
+        )
+    results[key] = row
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(row), flush=True)
+
+
+def main():
+    eps_list = (
+        [float(x) for x in sys.argv[1].split(",")]
+        if len(sys.argv) > 1
+        else [0.0, 0.005, 0.01, 0.02, 0.05, 0.1, 0.2]
+    )
+    results = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            results = json.load(f)
+    for eps in eps_list:
+        run_eps(eps, results)
+
+
+if __name__ == "__main__":
+    main()

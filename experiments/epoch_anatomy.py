@@ -107,12 +107,17 @@ def build_step(
     }
     if variant == "sgd":
         optimizer = optax.sgd(learning_rate)
-    elif variant in ("mubf16", "candidate"):
+    elif variant in ("mubf16", "candidate", "candidate2"):
         optimizer = optax.adam(learning_rate, mu_dtype=jnp.bfloat16)
+    elif variant == "afact":
+        optimizer = optax.adafactor(learning_rate)
     else:
         optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
-    bf16act = variant in ("bf16act", "bf16act_remat", "candidate")
+    bf16act = variant in (
+        "bf16act", "bf16act_remat", "candidate", "candidate2",
+        "bf16act_fwd", "afact",
+    )
     remat = variant in ("remat", "bf16act_remat", "candidate")
     # jax.checkpoint cannot linearize reduce_window (and its init_value
     # must be a static Python scalar, which pins it to f32), so the
@@ -189,7 +194,7 @@ def build_step(
         h = spmm(h) * act(inv_d) + b2
         return (jax.checkpoint(head) if remat else head)(h)
 
-    if variant == "fwd_only":
+    if variant in ("fwd_only", "bf16act_fwd"):
 
         @jax.jit
         def steps(params, opt_state, _):

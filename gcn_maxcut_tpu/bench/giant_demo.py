@@ -197,6 +197,9 @@ def train_banded_giant_packed(
     r: int = 8,
     seed: int = 0,
     agg_dtype="bfloat16",
+    act_dtype="bfloat16",
+    mu_dtype="bfloat16",
+    return_assignment: bool = False,
 ) -> Dict[str, float]:
     """10M-node banded training with every aggregation on the packed
     full-bandwidth kernel.  Same objective/optimizer as
@@ -209,7 +212,22 @@ def train_banded_giant_packed(
     stays f32; only the streamed values are bf16-rounded (~3 decimal
     digits).  Measured at 10M nodes: 72.9 -> 64.2 ms/epoch with cut
     quality identical to f32 (93.55% vs 93.56% after 40 epochs);
-    ``agg_dtype=None`` keeps full-f32 streams."""
+    ``agg_dtype=None`` keeps full-f32 streams.
+
+    ``act_dtype="bfloat16"`` (round-5 default): run the whole activation
+    pipeline (GEMMs, softmax/STE head, cotangents) in bf16 with f32
+    parameters, f32 MXU accumulation and an f32 loss reduction.  The
+    round-5 epoch anatomy (``experiments/epoch_anatomy.py``,
+    docs/epoch_anatomy_r5.json) measured the 64.3 ms epoch as
+    elementwise-traffic-bound (~30 ms fwd elementwise vs ~7 ms
+    aggregation), so halving activation bytes is the big lever: 64.3 ->
+    48.6 ms measured; with ``mu_dtype="bfloat16"`` (Adam first moment —
+    the optimizer traffic ablation) -> **46.4 ms**.  The MXU truncates
+    matmul inputs to bf16 at default precision anyway, so the GEMM values
+    are unchanged; only stored intermediates round.  Set both to None for
+    the pre-round-5 f32 pipeline (quality measured identical — see
+    PARITY §4).  Rematerialization was measured and REJECTED: residual
+    traffic is only ~7 ms while recompute costs ~23 ms (same probe)."""
     from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm_unit_packed
 
     G = 16                               # lane-group width (classes padded)
@@ -217,6 +235,7 @@ def train_banded_giant_packed(
         raise ValueError("packed demo expects hidden_dim=16, emb % 16 == 0")
     if n % r:
         raise ValueError(f"n={n} must be a multiple of r={r}")
+    act = jnp.dtype(act_dtype if act_dtype is not None else jnp.float32)
     m = n // r
     rng = np.random.default_rng(seed)
     half = rng.choice(np.arange(1, bandwidth + 1), size=d // 2, replace=False)
@@ -232,59 +251,73 @@ def train_banded_giant_packed(
         "embed": jax.random.normal(
             k3, (m, r * dim_embedding), jnp.float32) * 0.1,
     }
-    optimizer = optax.adam(learning_rate)
+    optimizer = optax.adam(
+        learning_rate,
+        mu_dtype=None if mu_dtype is None else jnp.dtype(mu_dtype),
+    )
     opt_state = optimizer.init(params)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, r * G), 1)
-    class_ok = (lane % G < num_classes).astype(jnp.float32)      # [1, 128]
+    class_ok = (lane % G < num_classes).astype(act)              # [1, 128]
     # terminals: positions 0..k-1 (row 0, lane groups 0..k-1) pinned to
     # class == their own group index
     grp = lane // G
-    term_cols = (grp < num_classes).astype(jnp.float32)          # [1, 128]
-    term_onehot = ((lane % G) == grp).astype(jnp.float32) * term_cols
+    term_cols = (grp < num_classes).astype(act)                  # [1, 128]
+    term_onehot = ((lane % G) == grp).astype(act) * term_cols
     eye_r = jnp.eye(r, dtype=jnp.float32)
-    sum_bcast = jnp.kron(eye_r, jnp.ones((G, G), jnp.float32))  # [128, 128]
+    sum_bcast = jnp.kron(eye_r, jnp.ones((G, G), jnp.float32)).astype(act)
+
+    def group_max(h):
+        # bf16 activations use the reshape formulation: reduce_window's
+        # init_value must be a static Python scalar (f32) and it has no
+        # linearization rule; reduce_max follows the operand dtype
+        if act != jnp.float32:
+            return h.reshape(m, r, G).max(axis=-1).reshape(m, r)
+        return _group_max(h)
 
     def spmm(h):
         # wide in, wide out; (m, L) -> (n, L/r) view only inside the op
         L = h.shape[1]
         hh = h.reshape(n, L // r)
-        if agg_dtype is not None:
+        if agg_dtype is not None and act == jnp.float32:
             hh = hh.astype(agg_dtype)
         out = banded_spmm_unit_packed(hh, offsets, r)
-        return out.astype(jnp.float32).reshape(m, L)
+        return out.astype(act).reshape(m, L)
 
     def loss_fn(params):
-        k1w = jnp.kron(eye_r, params["conv1"]["w"])              # [256, 128]
-        k2w = jnp.kron(eye_r, params["conv2"]["w"])              # [128, 128]
-        b1 = jnp.tile(params["conv1"]["b"], r)
-        b2 = jnp.tile(params["conv2"]["b"], r)
-        h = params["embed"] @ k1w
-        h = spmm(h) * inv_d + b1
+        k1w = jnp.kron(eye_r, params["conv1"]["w"]).astype(act)  # [256, 128]
+        k2w = jnp.kron(eye_r, params["conv2"]["w"]).astype(act)  # [128, 128]
+        b1 = jnp.tile(params["conv1"]["b"], r).astype(act)
+        b2 = jnp.tile(params["conv2"]["b"], r).astype(act)
+        h = params["embed"].astype(act) @ k1w
+        h = spmm(h) * act.type(inv_d) + b1
         h = jax.nn.relu(h)
         h = h @ k2w
-        h = spmm(h) * inv_d + b2
+        h = spmm(h) * act.type(inv_d) + b2
         # masked group softmax over the k classes in each 16-lane group.
         # max is shift-invariant -> stop_gradient (also: the TPU has no
         # select-and-scatter lowering for windowed-max gradients); the
         # sum-broadcast is a kron-ones matmul (MXU, differentiable).
         gmax = jax.lax.stop_gradient(
-            _bcast(_group_max(h + (class_ok - 1.0) * 1e9))
+            _bcast(group_max(h + (class_ok - 1.0) * 1e9))
         )
         e = jnp.exp(h - gmax) * class_ok
         probs = e / (e @ sum_bcast)
         # terminal pinning (row 0, groups 0..k-1), straight-through
-        row0 = jnp.zeros((m, 1), jnp.float32).at[0, 0].set(1.0)
+        row0 = jnp.zeros((m, 1), act).at[0, 0].set(1.0)
         is_term = row0 * term_cols
         pinned_hard = is_term * term_onehot + (1.0 - is_term) * probs
         pinned = jax.lax.stop_gradient(pinned_hard - probs) + probs
         # straight-through group argmax (hard path carries no gradient)
         hard = jax.lax.stop_gradient(
-            (pinned >= _bcast(_group_max(pinned))).astype(jnp.float32)
+            (pinned >= _bcast(group_max(pinned))).astype(act)
             * class_ok
         )
         onehot = jax.lax.stop_gradient(hard - pinned) + pinned
-        same = jnp.vdot(onehot, spmm(onehot))
+        # f32 reduction: the cut is ~4e7, far past bf16 resolution
+        same = jnp.vdot(
+            onehot.astype(jnp.float32), spmm(onehot).astype(jnp.float32)
+        )
         return -(e_undirected - 0.5 * same)
 
     @jax.jit
@@ -331,7 +364,33 @@ def train_banded_giant_packed(
         "final_cut": final_cut,
         "cut_fraction": final_cut / e_undirected,
         "layout": "packed",
+        "offsets": list(offsets),
     }
+    if return_assignment:
+        # decode once: forward to pinned probs, group argmax, then map
+        # position p = j*r + u back to node u*m + j (transpose)
+        @jax.jit
+        def _decode(params):
+            k1w = jnp.kron(eye_r, params["conv1"]["w"])
+            k2w = jnp.kron(eye_r, params["conv2"]["w"])
+            b1 = jnp.tile(params["conv1"]["b"], r)
+            b2 = jnp.tile(params["conv2"]["b"], r)
+            h = params["embed"] @ k1w
+            h = spmm(h) * inv_d + b1
+            h = jax.nn.relu(h)
+            h = h @ k2w
+            h = spmm(h) * inv_d + b2
+            gmax = _bcast(_group_max(h + (class_ok - 1.0) * 1e9))
+            e = jnp.exp(h - gmax) * class_ok
+            probs = e / (e @ sum_bcast)
+            row0 = jnp.zeros((m, 1), jnp.float32).at[0, 0].set(1.0)
+            is_term = row0 * term_cols
+            pinned = is_term * term_onehot + (1.0 - is_term) * probs
+            masked = jnp.where(class_ok > 0, pinned, -jnp.inf)
+            cls = jnp.argmax(masked.reshape(m, r, G), axis=-1)  # [m, r]
+            return cls.T.reshape(n).astype(jnp.int32)           # node-major
+
+        res["assignment"] = np.asarray(_decode(params))
     logger.info(
         "packed giant n=%d d=%d: epoch %.3fs (%.2e edges/s), cut %.3g/%.3g (%.1f%%)",
         n, d, epoch_time, res["edges_per_s_per_epoch"],

@@ -296,6 +296,8 @@ def plan_block_ell(
     *,
     max_wp: int = 512,
     max_outlier_frac: float = 0.02,
+    force_wp: int | None = None,
+    force_width: int | None = None,
 ) -> BlockEllPlan | None:
     """Pick (block, wp, width) for the kernel, or None if the graph
     doesn't band.
@@ -307,6 +309,13 @@ def plan_block_ell(
     is then the smallest that keeps over-degree spills inside the remaining
     outlier budget; outliers = window escapes + degree spills, re-added by
     the COO correction so the operator stays exact.
+
+    ``force_wp``/``force_width`` pin the half-window / table width instead
+    of searching (the sharded builder uses this to give every shard's local
+    plan identical kernel geometry so plans stack into one ``[D, ...]``
+    pytree); the outlier budget is NOT enforced for forced geometry — all
+    escapes/spills go to the outlier COO, so the operator stays exact
+    regardless, the caller owns the perf judgement.
     """
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
@@ -338,14 +347,19 @@ def plan_block_ell(
     # free below wp≈256 — so first look for a near-escape-free window,
     # then fall back to the loose budget.
     chosen = None
-    for tier_cap in (max(64, e // 1000), cap // 2):
-        for wp in candidates:
-            b, in_win, n_escape = escapes(wp)
-            if b is not None and n_escape <= tier_cap:
-                chosen = (wp, b, in_win, n_escape)
+    if force_wp is not None:
+        b, in_win, n_escape = escapes(force_wp)
+        if b is not None:
+            chosen = (force_wp, b, in_win, n_escape)
+    else:
+        for tier_cap in (max(64, e // 1000), cap // 2):
+            for wp in candidates:
+                b, in_win, n_escape = escapes(wp)
+                if b is not None and n_escape <= tier_cap:
+                    chosen = (wp, b, in_win, n_escape)
+                    break
+            if chosen:
                 break
-        if chosen:
-            break
     if chosen:
         wp, b, in_win, n_escape = chosen
         # in-window edges, receiver-major with within-row ranks
@@ -361,7 +375,9 @@ def plan_block_ell(
         max_deg = int(counts.max()) if r_in.size else 0
         spill_budget = cap - n_escape
         width = max_deg
-        if max_deg:
+        if force_width is not None:
+            width = force_width
+        elif max_deg:
             # edges at rank >= d0 spill; spills(d0) = E_in - Σ_{r<d0} rank_counts
             rank_counts = np.bincount(ranks, minlength=max_deg)
             spills = r_in.shape[0] - np.cumsum(rank_counts)

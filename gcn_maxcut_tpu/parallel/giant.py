@@ -60,6 +60,13 @@ class GiantConfig:
                                      # (amortizes host round-trips, which
                                      # dominate at moderate n — measured
                                      # ~30x at n=100k on the tunneled v5e)
+    partition: str = "contiguous"    # contiguous | bfs (node -> shard)
+    local_reorder: str = "off"       # off | rcm (band each shard's local
+                                     # subgraph; see partition.shard_graph)
+    block_ell: bool = False          # per-shard block-ELL plan for hop-0
+                                     # aggregation (falls back silently to
+                                     # the gather tables when a shard's
+                                     # local subgraph does not band)
 
 
 def sharded_cut(
@@ -222,6 +229,46 @@ def make_giant_step(
     return jax.jit(lambda c, e, o: smapped(c, e, o, jnp.int32(K), sg))
 
 
+def decode_assignment(
+    sg: ShardedGraph,
+    mesh: Mesh,
+    config: GiantConfig,
+    conv_params: Any,
+    embed: jnp.ndarray,
+    axis: str = "graph",
+) -> np.ndarray:
+    """One sharded forward -> per-node argmax class, in SHARDED layout
+    ``[num_shards, n_shard]`` (map back to global node order with the
+    ``global_to_local`` array from ``shard_graph``).  Same pinning
+    semantics as the training step (shard 0 rows 0..k-1)."""
+
+    def local_fwd(conv_params, embed, sg_dev):
+        sgl = local_shard(sg_dev)
+        h = sharded_gcn_conv(
+            conv_params["conv1"]["w"], conv_params["conv1"]["b"],
+            sgl, embed[0], axis, config.schedule,
+        )
+        h = jax.nn.relu(h)
+        h = sharded_gcn_conv(
+            conv_params["conv2"]["w"], conv_params["conv2"]["b"],
+            sgl, h, axis, config.schedule,
+        )
+        probs = jax.nn.softmax(h, axis=-1)
+        onehot = _pin_and_ste(probs, axis, config.num_classes)
+        return jnp.argmax(onehot, axis=-1).astype(jnp.int32)[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(P(), P(axis), shard_specs(sg, axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    return np.asarray(fn(conv_params, embed, sg))
+
+
 def measure_epoch_time(
     sg: ShardedGraph,
     mesh: Mesh,
@@ -299,12 +346,16 @@ def train_giant_graph(
     mesh: Mesh | None = None,
     axis: str = "graph",
     measure_throughput: bool = False,
+    return_assignment: bool = False,
 ) -> Dict[str, Any]:
     """End-to-end: partition -> sharded training -> decoded cut value.
 
     ``measure_throughput``: additionally run :func:`measure_epoch_time`
     (amortized in-jit, RTT-cancelling) and report ``edges_per_s_amortized``
     + spread — the trustworthy number on the tunneled TPU.
+    ``return_assignment``: additionally decode the trained model once
+    (:func:`decode_assignment`) and return ``assignment`` in GLOBAL node
+    order — the input to classical refinement / at-scale baseline tables.
     """
     if config.number_epochs < 1:
         raise ValueError(
@@ -312,7 +363,17 @@ def train_giant_graph(
         )
     mesh = mesh or make_mesh((axis,))
     num_shards = int(np.prod(mesh.devices.shape))
-    sg, g2l = shard_graph(senders, receivers, n, num_shards)
+    owner = None
+    if config.partition == "bfs":
+        from gcn_maxcut_tpu.parallel.partition import partition_nodes_bfs
+
+        owner = partition_nodes_bfs(senders, receivers, n, num_shards)
+    elif config.partition != "contiguous":
+        raise ValueError(f"unknown partition {config.partition!r}")
+    sg, g2l = shard_graph(
+        senders, receivers, n, num_shards, owner=owner,
+        local_reorder=config.local_reorder, block_ell=config.block_ell,
+    )
     n_shard = sg.n_shard
 
     key = jax.random.PRNGKey(config.seed)
@@ -382,8 +443,16 @@ def train_giant_graph(
             "timing_spread_s": m["spread_hi_s"],
             "timing_method": m["method"],
         }
+    extra = {}
+    if return_assignment:
+        sharded_asn = decode_assignment(
+            sg, mesh, config, conv_params, embed, axis
+        )
+        owner, local_ix = g2l // n_shard, g2l % n_shard
+        extra["assignment"] = sharded_asn[owner, local_ix]
     return {
         **timed,
+        **extra,
         "final_loss": final_loss,
         "final_cut": -final_loss,
         "total_edges": e_directed // 2,

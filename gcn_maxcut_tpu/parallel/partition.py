@@ -58,6 +58,21 @@ class ShardedGraph:
     ell_senders: jnp.ndarray | None = None   # int32 [D, D, n_shard, ell_w]
     ell_weights: jnp.ndarray | None = None   # f32   [D, D, n_shard, ell_w]
     ell_mask: jnp.ndarray | None = None      # f32   [D, D, n_shard, ell_w]
+    # optional per-shard block-ELL plan for the LOCAL edge group (hop 0):
+    # when each shard's intra-shard subgraph bands (after the per-shard RCM
+    # of ``shard_graph(local_reorder="rcm")``), hop 0 — the bulk of the
+    # edges under a locality partition — rides the windowed Pallas kernel
+    # (``ops/pallas_block_ell.py``, ~2.4x the gather path) instead of the
+    # ELL gather tables; remote hops keep the gather tables.  All shards
+    # share one kernel geometry (bell_block/bell_wp static) so the stacked
+    # arrays are one pytree.
+    bell_senders: jnp.ndarray | None = None       # int32 [D, n_shard, bw]
+    bell_weights: jnp.ndarray | None = None       # f32   [D, n_shard, bw]
+    bell_out_senders: jnp.ndarray | None = None   # int32 [D, o_pad]
+    bell_out_receivers: jnp.ndarray | None = None  # int32 [D, o_pad]
+    bell_out_weights: jnp.ndarray | None = None   # f32   [D, o_pad]
+    bell_block: int | None = struct.field(pytree_node=False, default=None)
+    bell_wp: int | None = struct.field(pytree_node=False, default=None)
     # static: True iff the directed COO was verified symmetric (A^T = A) at
     # build time; gates the symmetric custom VJP (spmm.sharded_spmm_sym) —
     # asymmetric graphs fall back to the autodiff backward.
@@ -209,6 +224,9 @@ def shard_graph(
     check_symmetry: bool = True,
     ell_budget_bytes: int = 1 << 30,
     use_native: bool = True,
+    local_reorder: str = "off",
+    block_ell: bool = False,
+    block_ell_outlier_frac: float = 0.02,
 ) -> Tuple[ShardedGraph, np.ndarray]:
     """Build a `ShardedGraph` from directed COO arrays.
 
@@ -223,6 +241,18 @@ def shard_graph(
     asymmetric inputs get ``symmetric=False`` and the autodiff backward.
     Pass False to skip the check and assert symmetry (trusted callers,
     e.g. the on-device circulant generators).
+
+    ``local_reorder="rcm"``: additionally RCM-relabel each shard's nodes by
+    its intra-shard subgraph so local edges band (scipy reverse
+    Cuthill-McKee per shard).  ``block_ell=True``: attempt a per-shard
+    block-ELL plan for the hop-0 (local) edge group — all shards forced to
+    one kernel geometry; fields stay None if any shard's local subgraph
+    does not band (expanders).  Both options use the numpy assembly lane
+    (the native fast lane does not build them).  NOTE: relabeling means
+    "shard 0 local rows 0..k-1" are no longer global nodes 0..k-1 — for
+    the max-cut objective any k distinct nodes are a valid terminal set
+    (the reference also picks arbitrary ids), but decode mappings must go
+    through the returned ``global_to_local``.
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -238,8 +268,10 @@ def shard_graph(
         owner = partition_nodes_contiguous(n, num_shards)
     owner = np.asarray(owner, dtype=np.int64)
 
-    # fast lane: the native O(E) counting-sort assembly (same contract)
-    if use_native and n < (1 << 31):
+    # fast lane: the native O(E) counting-sort assembly (same contract;
+    # local_reorder/block_ell need the numpy lane)
+    if (use_native and n < (1 << 31)
+            and local_reorder == "off" and not block_ell):
         from gcn_maxcut_tpu.native.bindings import shard_assembly_native
 
         res = shard_assembly_native(
@@ -270,7 +302,9 @@ def shard_graph(
             return sg, g2l
 
     shard_sizes = np.bincount(owner, minlength=num_shards)
-    n_shard = round_up(int(shard_sizes.max()), 8)
+    # block_ell needs n_shard >= 1024 with a [128, 2048] divisor that is a
+    # multiple of 128 (kernel row blocks) — any multiple of 1024 qualifies
+    n_shard = round_up(int(shard_sizes.max()), 1024 if block_ell else 8)
 
     # local index of each node within its shard (order-preserving): rank of
     # the node among its shard's members, via one stable sort over owners
@@ -278,6 +312,28 @@ def shard_graph(
     starts = np.concatenate([[0], np.cumsum(shard_sizes)[:-1]])
     local = np.empty(n, dtype=np.int64)
     local[node_order] = np.arange(n) - np.repeat(starts, shard_sizes)
+
+    if local_reorder == "rcm":
+        # band each shard's intra-shard subgraph: new local id =
+        # rcm_perm[old local id], applied before bucket assembly so every
+        # downstream table (incl. other shards' references to this shard's
+        # senders) sees the banded order
+        from gcn_maxcut_tpu.data.reorder import rcm_permutation
+
+        intra = owner[senders] == owner[receivers]
+        for sdx in range(num_shards):
+            sel = intra & (owner[senders] == sdx)
+            e_loc = np.stack(
+                [local[senders[sel]], local[receivers[sel]]], axis=1
+            )
+            sz = int(shard_sizes[sdx])
+            if sz == 0:
+                continue
+            perm = rcm_permutation(e_loc, sz)
+            members = np.nonzero(owner == sdx)[0]
+            local[members] = perm[local[members]]
+    elif local_reorder != "off":
+        raise ValueError(f"unknown local_reorder {local_reorder!r}")
 
     recv_shard = owner[receivers]
     send_shard = owner[senders]
@@ -356,6 +412,11 @@ def shard_graph(
         np.arange(n_shard)[None, :] < shard_sizes[:, None]
     ).astype(np.float32)
 
+    bell = _plan_local_block_ell(
+        S, R, W, M, num_shards, n_shard,
+        max_outlier_frac=block_ell_outlier_frac,
+    ) if block_ell else None
+
     g2l = owner * n_shard + local
     sg = ShardedGraph(
         senders=jnp.asarray(S),
@@ -369,5 +430,83 @@ def shard_graph(
         ell_weights=jnp.asarray(EW) if use_ell else None,
         ell_mask=jnp.asarray(EM) if use_ell else None,
         symmetric=symmetric,
+        **(bell or {}),
     )
     return sg, g2l
+
+
+def _plan_local_block_ell(S, R, W, M, num_shards, n_shard,
+                          max_outlier_frac: float = 0.02):
+    """Stacked per-shard block-ELL plans for the hop-0 (local) groups.
+
+    Plans every shard's local subgraph with ``ops.pallas_block_ell.
+    plan_block_ell``, then forces one shared kernel geometry: re-plan with
+    the max half-window (same n_shard + same wp => same block, since
+    ``_divisor_block`` is deterministic), pad table widths / outlier pads
+    to the max.  Returns the ShardedGraph bell-field kwargs, or None if
+    any shard's local subgraph does not band (the caller keeps the gather
+    tables; exactness never depends on this).
+    """
+    from gcn_maxcut_tpu.ops.pallas_block_ell import plan_block_ell
+
+    def shard_coo(d):
+        msk = np.asarray(M[d, 0]) > 0
+        return (
+            np.asarray(S[d, 0])[msk],
+            np.asarray(R[d, 0])[msk],
+            np.asarray(W[d, 0])[msk],
+        )
+
+    plans = []
+    for d in range(num_shards):
+        s_l, r_l, w_l = shard_coo(d)
+        plan = plan_block_ell(s_l, r_l, w_l, n_shard,
+                              max_outlier_frac=max_outlier_frac)
+        if plan is None:
+            return None
+        plans.append(plan)
+    wp_u = max(p.wp for p in plans)
+    if any(p.wp != wp_u for p in plans):
+        replanned = []
+        for d, p in enumerate(plans):
+            if p.wp == wp_u:
+                replanned.append(p)
+                continue
+            s_l, r_l, w_l = shard_coo(d)
+            p2 = plan_block_ell(s_l, r_l, w_l, n_shard, force_wp=wp_u,
+                                max_outlier_frac=max_outlier_frac)
+            if p2 is None:
+                return None
+            replanned.append(p2)
+        plans = replanned
+    if len({p.block for p in plans}) != 1:
+        return None  # cannot happen for equal (n_shard, wp); stay safe
+    bw_u = max(p.senders.shape[1] for p in plans)
+    o_u = max(p.out_senders.shape[0] for p in plans)
+
+    def pad_tab(p):
+        pad = bw_u - p.senders.shape[1]
+        s = np.pad(p.senders, ((0, 0), (0, pad)),
+                   constant_values=n_shard - 1)
+        w = np.pad(p.weights, ((0, 0), (0, pad)))
+        return s, w
+
+    def pad_out(a, fill):
+        return np.pad(a, (0, o_u - a.shape[0]), constant_values=fill)
+
+    tabs = [pad_tab(p) for p in plans]
+    return dict(
+        bell_senders=jnp.asarray(np.stack([t[0] for t in tabs])),
+        bell_weights=jnp.asarray(np.stack([t[1] for t in tabs])),
+        bell_out_senders=jnp.asarray(
+            np.stack([pad_out(p.out_senders, n_shard - 1) for p in plans])
+        ),
+        bell_out_receivers=jnp.asarray(
+            np.stack([pad_out(p.out_receivers, n_shard - 1) for p in plans])
+        ),
+        bell_out_weights=jnp.asarray(
+            np.stack([pad_out(p.out_weights, 0.0) for p in plans])
+        ),
+        bell_block=plans[0].block,
+        bell_wp=wp_u,
+    )

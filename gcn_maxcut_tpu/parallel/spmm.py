@@ -61,7 +61,28 @@ def _local_group_aggregate_ell(
 
 def _group_aggregate(sg_shard: ShardedGraph, s, x_src: jnp.ndarray) -> jnp.ndarray:
     """Aggregate edge group ``s`` of this shard from the source-shard rows,
-    via the ELL tables when the partition built them."""
+    via the ELL tables when the partition built them.
+
+    Hop 0 (intra-shard edges — the bulk under a locality partition) rides
+    the windowed block-ELL Pallas kernel when ``shard_graph(...,
+    block_ell=True)`` attached per-shard plans (~2.4x the gather path,
+    ``ops/pallas_block_ell.py``); remote hops always use the gather
+    tables (their senders are scattered rows of another shard's buffer —
+    no banding to exploit)."""
+    if s == 0 and sg_shard.bell_senders is not None:
+        from gcn_maxcut_tpu.ops.pallas_block_ell import block_ell_spmm
+
+        return block_ell_spmm(
+            x_src.astype(jnp.float32),
+            sg_shard.bell_senders,
+            sg_shard.bell_weights,
+            sg_shard.bell_out_senders,
+            sg_shard.bell_out_receivers,
+            sg_shard.bell_out_weights,
+            sg_shard.node_mask.shape[-1],
+            sg_shard.bell_block,
+            sg_shard.bell_wp,
+        )
     if sg_shard.ell_senders is not None:
         return _local_group_aggregate_ell(
             sg_shard.ell_senders[s], sg_shard.ell_weights[s], x_src

@@ -398,3 +398,87 @@ def test_shard_graph_vectorized_matches_reference_assembly():
             np.testing.assert_array_equal(S[d, grp, :m], local[s[sel]])
             np.testing.assert_array_equal(R[d, grp, :m], local[r[sel]])
             np.testing.assert_allclose(Wt[d, grp, :m], w[sel])
+
+
+# ---- hop-0 block-ELL routing (VERDICT r4 #3) ------------------------------
+
+
+def _banded_coo(n, offsets, seed=0):
+    """Directed symmetric circulant-ish COO with the given offsets."""
+    s = np.concatenate([np.arange(n) for _ in offsets]).astype(np.int64)
+    r = np.concatenate([(np.arange(n) + o) % n for o in offsets]).astype(
+        np.int64
+    )
+    return np.concatenate([s, r]), np.concatenate([r, s])
+
+
+@pytest.mark.parametrize("local_reorder", ["off", "rcm"])
+def test_shard_graph_block_ell_attaches_and_matches(local_reorder):
+    """Hop-0 block-ELL routing equals the dense reference.
+
+    The ring is simulated hop by hop OUTSIDE shard_map (out[d] = sum_s
+    aggregate(shard d, hop s, x[(d+s) % D])) — numerically identical to
+    ``sharded_spmm_ring`` (whose shard_map composition the no-bell tests
+    above cover) but avoids TPU-interpret pallas inside shard_map, which
+    wedges on the CPU backend at this size (the hardware path is exercised
+    by ``experiments/bell_crossover.py``)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from gcn_maxcut_tpu.parallel.spmm import _group_aggregate
+
+    n = 8192
+    senders, receivers = _banded_coo(n, (1, 2, 3, 40), seed=7)
+    sg, g2l = shard_graph(
+        senders, receivers, n, D,
+        block_ell=True, local_reorder=local_reorder,
+    )
+    assert sg.bell_senders is not None, "local banded subgraph must plan"
+    assert sg.bell_block is not None and sg.n_shard % sg.bell_block == 0
+    n_shard = sg.n_shard
+    owner, local = g2l // n_shard, g2l % n_shard
+
+    rng = np.random.default_rng(3)
+    x_global = rng.normal(size=(n, 128)).astype(np.float32)
+    dense = np.zeros((n, n), np.float32)
+    dense[receivers, senders] = 1.0
+    expect = dense @ x_global
+
+    x_sh = np.zeros((D, n_shard, 128), np.float32)
+    x_sh[owner, local] = x_global
+    x_sh = jnp.asarray(x_sh)
+
+    out = np.zeros((D, n_shard, 128), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        for d in range(D):
+            sgl = jax.tree_util.tree_map(
+                lambda a: a[d] if getattr(a, "ndim", 0) > 0 else a, sg
+            )
+            acc = jnp.zeros((n_shard, 128), jnp.float32)
+            for s in range(D):
+                acc = acc + _group_aggregate(sgl, s, x_sh[(d + s) % D])
+            out[d] = np.asarray(acc)
+    got = out[owner, local]
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_shard_graph_block_ell_expander_falls_back():
+    s, r = _random_coo(8192, 6, seed=11)
+    sg, _ = shard_graph(s, r, 8192, D, block_ell=True)
+    # uniform random regular graph: per-shard local subgraphs are
+    # expanders, no window plan -> silent fallback to the gather tables
+    assert sg.bell_senders is None
+    assert sg.ell_senders is not None
+
+
+def test_shard_graph_block_ell_rcm_recovers_shuffled_band():
+    """A shuffled banded graph does not band contiguously, but the
+    per-shard RCM relabel recovers a plan (on the BFS partition)."""
+    n = 8192
+    senders, receivers = _banded_coo(n, (1, 2, 3), seed=3)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    s2, r2 = perm[senders], perm[receivers]
+    owner = partition_nodes_bfs(s2, r2, n, D)
+    sg, _ = shard_graph(
+        s2, r2, n, D, owner=owner, block_ell=True, local_reorder="rcm"
+    )
+    assert sg.bell_senders is not None
