@@ -197,7 +197,7 @@ def train_banded_giant_packed(
     r: int = 8,
     seed: int = 0,
     agg_dtype="bfloat16",
-    act_dtype="bfloat16",
+    act_dtype=None,
     mu_dtype="bfloat16",
     return_assignment: bool = False,
 ) -> Dict[str, float]:
@@ -214,20 +214,24 @@ def train_banded_giant_packed(
     quality identical to f32 (93.55% vs 93.56% after 40 epochs);
     ``agg_dtype=None`` keeps full-f32 streams.
 
-    ``act_dtype="bfloat16"`` (round-5 default): run the whole activation
-    pipeline (GEMMs, softmax/STE head, cotangents) in bf16 with f32
-    parameters, f32 MXU accumulation and an f32 loss reduction.  The
-    round-5 epoch anatomy (``experiments/epoch_anatomy.py``,
-    docs/epoch_anatomy_r5.json) measured the 64.3 ms epoch as
-    elementwise-traffic-bound (~30 ms fwd elementwise vs ~7 ms
-    aggregation), so halving activation bytes is the big lever: 64.3 ->
-    48.6 ms measured; with ``mu_dtype="bfloat16"`` (Adam first moment —
-    the optimizer traffic ablation) -> **46.4 ms**.  The MXU truncates
-    matmul inputs to bf16 at default precision anyway, so the GEMM values
-    are unchanged; only stored intermediates round.  Set both to None for
-    the pre-round-5 f32 pipeline (quality measured identical — see
-    PARITY §4).  Rematerialization was measured and REJECTED: residual
-    traffic is only ~7 ms while recompute costs ~23 ms (same probe)."""
+    ``mu_dtype="bfloat16"`` (round-5 default): Adam's first moment in
+    bf16 — measured quality-NEUTRAL at 10M (93.57% vs 93.55% at 40
+    epochs) and −2.2 ms/epoch (64.3 → 62.1).
+
+    ``act_dtype="bfloat16"`` (opt-in): run the whole activation pipeline
+    (GEMMs, softmax/STE head, cotangents) in bf16 with f32 parameters,
+    f32 MXU accumulation and an f32 loss reduction.  The round-5 epoch
+    anatomy (``experiments/epoch_anatomy.py``, docs/epoch_anatomy_r5.json)
+    measured the 64.3 ms epoch as elementwise-traffic-bound (~30 ms fwd
+    elementwise vs ~7 ms aggregation), and bf16 activations are the big
+    per-epoch lever: **46.7 ms measured** (with mu bf16).  BUT the
+    rounding slows convergence: 90.7% cut at 40 epochs vs f32's 93.6%,
+    94.1% at 60, 95.2% at 80 — at EQUAL WALL CLOCK the two arrive at the
+    same quality (f32 40 ep = 2.5 s → 93.6%; bf16 ~53 ep = 2.5 s →
+    ~93.5–94%), so f32 stays the default and bf16 is a throughput knob
+    for epoch-budget-bound runs, not a free win.  Rematerialization was
+    measured and REJECTED: residual traffic is only ~7 ms while recompute
+    costs ~23 ms (same probe)."""
     from gcn_maxcut_tpu.ops.pallas_banded import banded_spmm_unit_packed
 
     G = 16                               # lane-group width (classes padded)

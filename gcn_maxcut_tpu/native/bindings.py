@@ -95,6 +95,11 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.gt_symmetry_check.restype = ctypes.c_int32
     lib.gt_symmetry_check.argtypes = [ctypes.c_int64, i32p, i32p, f32p]
+    lib.gt_metis_partition.restype = None
+    lib.gt_metis_partition.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, f32p,
+        ctypes.c_int32, ctypes.c_float, ctypes.c_uint64, i32p,
+    ]
     _lib = lib
     return _lib
 
@@ -257,6 +262,38 @@ def greedy_sweep_native(
         _ptr(used, ctypes.POINTER(ctypes.c_int32)),
     )
     return asn.astype(np.int64), float(val), int(used[0])
+
+
+def metis_partition_native(
+    senders: np.ndarray, receivers: np.ndarray, n: int, num_parts: int,
+    weights: np.ndarray | None = None, imbalance: float = 0.03,
+    seed: int = 0,
+) -> Optional[np.ndarray]:
+    """Multilevel (METIS-style) node partition: heavy-edge-matching
+    coarsening -> BFS initial partition -> KL/FM-style boundary refinement
+    at each uncoarsening level (``gt_metis_partition``).  Takes the
+    DIRECTED COO (both edge directions); returns node -> part, or None if
+    the native toolkit is unavailable.  Quality vs the single-level BFS
+    partitioner: experiments/partition_quality_r5.py / DESIGN.md.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _i32(senders), _i32(receivers)
+    w = (
+        None if weights is None
+        else np.ascontiguousarray(weights, dtype=np.float32)
+    )
+    owner = np.zeros(n, dtype=np.int32)
+    lib.gt_metis_partition(
+        n, src.shape[0],
+        _ptr(src, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(dst, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(w, ctypes.POINTER(ctypes.c_float)) if w is not None else None,
+        num_parts, imbalance, seed,
+        _ptr(owner, ctypes.POINTER(ctypes.c_int32)),
+    )
+    return owner.astype(np.int64)
 
 
 def symmetry_check_native(

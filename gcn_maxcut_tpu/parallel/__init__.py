@@ -4,6 +4,7 @@ from gcn_maxcut_tpu.parallel.partition import (
     shard_graph,
     partition_nodes_contiguous,
     partition_nodes_bfs,
+    partition_nodes_metis,
     partition_quality,
     is_symmetric_coo,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "shard_graph",
     "partition_nodes_contiguous",
     "partition_nodes_bfs",
+    "partition_nodes_metis",
     "partition_quality",
     "is_symmetric_coo",
     "sharded_spmm_allgather",

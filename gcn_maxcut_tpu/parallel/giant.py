@@ -60,7 +60,7 @@ class GiantConfig:
                                      # (amortizes host round-trips, which
                                      # dominate at moderate n — measured
                                      # ~30x at n=100k on the tunneled v5e)
-    partition: str = "contiguous"    # contiguous | bfs (node -> shard)
+    partition: str = "contiguous"    # contiguous | bfs | metis (node->shard)
     local_reorder: str = "off"       # off | rcm (band each shard's local
                                      # subgraph; see partition.shard_graph)
     block_ell: bool = False          # per-shard block-ELL plan for hop-0
@@ -368,6 +368,10 @@ def train_giant_graph(
         from gcn_maxcut_tpu.parallel.partition import partition_nodes_bfs
 
         owner = partition_nodes_bfs(senders, receivers, n, num_shards)
+    elif config.partition == "metis":
+        from gcn_maxcut_tpu.parallel.partition import partition_nodes_metis
+
+        owner = partition_nodes_metis(senders, receivers, n, num_shards)
     elif config.partition != "contiguous":
         raise ValueError(f"unknown partition {config.partition!r}")
     sg, g2l = shard_graph(

@@ -209,6 +209,10 @@ class PackedHaloGiantConfig:
                                     # quality-neutral on the single-chip
                                     # twin (93.55% vs 93.56% at 10M).
                                     # None = full-f32 streams.
+    mu_dtype: str | None = "bfloat16"  # Adam first moment dtype — round-5
+                                    # default, measured quality-neutral
+                                    # and −2.2 ms/epoch on the single-chip
+                                    # twin (PARITY §4); None = f32.
 
 
 def make_packed_halo_step(
@@ -371,7 +375,11 @@ def train_halo_giant_packed(
     ) * 0.1
     embed = embed.reshape(n_dev, m_shard, config.r * config.dim_embedding)
     embed = jax.device_put(embed, NamedSharding(mesh, P(config.axis)))
-    optimizer = optax.adam(config.learning_rate)
+    optimizer = optax.adam(
+        config.learning_rate,
+        mu_dtype=None if config.mu_dtype is None
+        else jnp.dtype(config.mu_dtype),
+    )
     opt_state = optimizer.init((conv_params, embed))
 
     step = make_packed_halo_step(mesh, offsets, config, optimizer, m_shard)(

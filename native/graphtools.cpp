@@ -403,6 +403,251 @@ int32_t gt_symmetry_check(int64_t e, const int32_t* src, const int32_t* dst,
   return (add_f == add_b && xor_f == xor_b) ? 1 : 0;
 }
 
+}  // extern "C" (reopened below — the partitioner needs C++ internals)
+
+// ---------------------------------------------------------------------------
+// Multilevel (METIS-style) graph partitioner: heavy-edge-matching
+// coarsening -> BFS-grown initial partition on the coarsest graph ->
+// greedy boundary (KL/FM-style) refinement at every uncoarsening level.
+// Balance: each part's VERTEX WEIGHT (contained fine-vertex count) stays
+// under ceil(n / parts) * (1 + imbalance).
+//
+// This is the "METIS-style edge partitioning" of the north star
+// (BASELINE.json): not a binding to the METIS library (no external deps)
+// but the same algorithmic skeleton (Karypis & Kumar '98).  Quality is
+// measured against the single-level BFS partitioner in
+// experiments/partition_quality_r5.py -> docs/ + DESIGN.md.
+
+namespace {
+
+struct CsrW {
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> adj;
+  std::vector<float> wts;
+};
+
+// build CSR over undirected edges given directed COO (both directions in)
+CsrW build_csr(int64_t n, int64_t e, const int32_t* src, const int32_t* dst,
+               const float* w) {
+  CsrW g;
+  g.indptr.assign(n + 1, 0);
+  g.adj.resize(e);
+  g.wts.resize(e);
+  for (int64_t i = 0; i < e; ++i) g.indptr[src[i] + 1]++;
+  for (int64_t v = 0; v < n; ++v) g.indptr[v + 1] += g.indptr[v];
+  std::vector<int64_t> pos(g.indptr.begin(), g.indptr.end() - 1);
+  for (int64_t i = 0; i < e; ++i) {
+    g.adj[pos[src[i]]] = dst[i];
+    g.wts[pos[src[i]]++] = w ? w[i] : 1.0f;
+  }
+  return g;
+}
+
+struct Level {
+  CsrW g;
+  std::vector<float> vwgt;     // vertex weights (fine-vertex counts)
+  std::vector<int32_t> map;    // fine vertex -> coarse vertex (next level)
+};
+
+// one heavy-edge-matching coarsening step; returns coarse vertex count
+int64_t hem_coarsen(const CsrW& g, const std::vector<float>& vwgt, int64_t n,
+                    uint64_t seed, std::vector<int32_t>& cmap) {
+  std::vector<int32_t> order(n);
+  for (int64_t v = 0; v < n; ++v) order[v] = (int32_t)v;
+  std::mt19937_64 rng(seed);
+  std::shuffle(order.begin(), order.end(), rng);
+  cmap.assign(n, -1);
+  int64_t nc = 0;
+  for (int64_t ii = 0; ii < n; ++ii) {
+    int32_t v = order[ii];
+    if (cmap[v] != -1) continue;
+    // pick the unmatched neighbor with the heaviest total edge weight
+    // (parallel edges accumulate naturally as we scan)
+    int32_t best_u = -1;
+    float best_w = 0.0f;
+    for (int64_t j = g.indptr[v]; j < g.indptr[v + 1]; ++j) {
+      int32_t u = g.adj[j];
+      if (u == v || cmap[u] != -1) continue;
+      if (g.wts[j] > best_w) {
+        best_w = g.wts[j];
+        best_u = u;
+      }
+    }
+    cmap[v] = (int32_t)nc;
+    if (best_u != -1) cmap[best_u] = (int32_t)nc;
+    ++nc;
+  }
+  return nc;
+}
+
+// contract g by cmap into gc (aggregating parallel edge weights)
+void contract(const CsrW& g, const std::vector<float>& vwgt, int64_t n,
+              const std::vector<int32_t>& cmap, int64_t nc, CsrW& gc,
+              std::vector<float>& cvwgt) {
+  cvwgt.assign(nc, 0.0f);
+  for (int64_t v = 0; v < n; ++v) cvwgt[cmap[v]] += vwgt[v];
+  // collect coarse edges via per-coarse-node hashing against a stamp array
+  std::vector<int64_t> head(nc + 1, 0);
+  std::vector<std::pair<int32_t, float>> buf;  // (neighbor, weight) runs
+  std::vector<int64_t> stamp(nc, -1);
+  std::vector<int64_t> slot(nc, 0);
+  std::vector<std::vector<int32_t>> members(nc);
+  for (int64_t v = 0; v < n; ++v) members[cmap[v]].push_back((int32_t)v);
+  gc.indptr.assign(nc + 1, 0);
+  std::vector<int32_t> tmp_adj;
+  std::vector<float> tmp_w;
+  for (int64_t c = 0; c < nc; ++c) {
+    int64_t start = (int64_t)tmp_adj.size();
+    for (int32_t v : members[c]) {
+      for (int64_t j = g.indptr[v]; j < g.indptr[v + 1]; ++j) {
+        int32_t uc = cmap[g.adj[j]];
+        if (uc == c) continue;  // internal edge vanishes
+        if (stamp[uc] != c) {
+          stamp[uc] = c;
+          slot[uc] = (int64_t)tmp_adj.size();
+          tmp_adj.push_back(uc);
+          tmp_w.push_back(g.wts[j]);
+        } else {
+          tmp_w[slot[uc]] += g.wts[j];
+        }
+      }
+    }
+    gc.indptr[c + 1] = (int64_t)tmp_adj.size() - start;
+  }
+  for (int64_t c = 0; c < nc; ++c) gc.indptr[c + 1] += gc.indptr[c];
+  gc.adj = std::move(tmp_adj);
+  gc.wts = std::move(tmp_w);
+  (void)head;
+  (void)buf;
+}
+
+// BFS-grown initial partition on the coarsest graph, balanced by vwgt
+void initial_partition(const CsrW& g, const std::vector<float>& vwgt,
+                       int64_t n, int32_t parts, float target,
+                       std::vector<int32_t>& part) {
+  part.assign(n, -1);
+  int64_t seedv = 0;
+  std::vector<int64_t> queue;
+  for (int32_t p = 0; p < parts; ++p) {
+    float wsum = 0.0f;
+    queue.clear();
+    size_t qh = 0;
+    while (wsum < target) {
+      if (qh >= queue.size()) {
+        while (seedv < n && part[seedv] != -1) ++seedv;
+        if (seedv >= n) break;
+        queue.push_back(seedv);
+        part[seedv] = p;
+        wsum += vwgt[seedv];
+      }
+      if (qh >= queue.size()) break;
+      int64_t v = queue[qh++];
+      for (int64_t j = g.indptr[v]; j < g.indptr[v + 1]; ++j) {
+        int32_t u = g.adj[j];
+        if (part[u] == -1 && wsum + vwgt[u] <= target * 1.02f) {
+          part[u] = p;
+          wsum += vwgt[u];
+          queue.push_back(u);
+        }
+      }
+    }
+  }
+  for (int64_t v = 0; v < n; ++v)
+    if (part[v] == -1) part[v] = parts - 1;
+}
+
+// greedy boundary refinement: a few sweeps of single-vertex moves with
+// positive edge-cut gain, subject to the balance cap
+void refine(const CsrW& g, const std::vector<float>& vwgt, int64_t n,
+            int32_t parts, float cap, std::vector<int32_t>& part,
+            int sweeps) {
+  std::vector<float> pw(parts, 0.0f);
+  for (int64_t v = 0; v < n; ++v) pw[part[v]] += vwgt[v];
+  std::vector<float> conn(parts, 0.0f);
+  std::vector<int32_t> touched;
+  for (int s = 0; s < sweeps; ++s) {
+    int64_t moves = 0;
+    for (int64_t v = 0; v < n; ++v) {
+      int32_t pv = part[v];
+      touched.clear();
+      bool boundary = false;
+      for (int64_t j = g.indptr[v]; j < g.indptr[v + 1]; ++j) {
+        int32_t pu = part[g.adj[j]];
+        if (conn[pu] == 0.0f) touched.push_back(pu);
+        conn[pu] += g.wts[j];
+        if (pu != pv) boundary = true;
+      }
+      if (boundary) {
+        float internal = conn[pv];
+        int32_t best_p = pv;
+        float best_gain = 1e-6f;
+        for (int32_t pu : touched) {
+          if (pu == pv) continue;
+          float gain = conn[pu] - internal;
+          if (gain > best_gain && pw[pu] + vwgt[v] <= cap) {
+            best_gain = gain;
+            best_p = pu;
+          }
+        }
+        if (best_p != pv) {
+          pw[pv] -= vwgt[v];
+          pw[best_p] += vwgt[v];
+          part[v] = best_p;
+          ++moves;
+        }
+      }
+      for (int32_t pu : touched) conn[pu] = 0.0f;
+    }
+    if (moves == 0) break;
+  }
+}
+
+}  // namespace
+
+extern "C" void gt_metis_partition(int64_t n, int64_t e, const int32_t* src,
+                                   const int32_t* dst, const float* w,
+                                   int32_t parts, float imbalance,
+                                   uint64_t seed, int32_t* owner) {
+  std::vector<Level> levels;
+  levels.emplace_back();
+  levels.back().g = build_csr(n, e, src, dst, w);
+  levels.back().vwgt.assign(n, 1.0f);
+  int64_t cur_n = n;
+  const int64_t floor_n = std::max<int64_t>(128, 32 * parts);
+  // coarsen until small or the matching stalls (<10% reduction)
+  while (cur_n > floor_n) {
+    Level& top = levels.back();
+    std::vector<int32_t> cmap;
+    int64_t nc =
+        hem_coarsen(top.g, top.vwgt, cur_n, seed + levels.size(), cmap);
+    if (nc > cur_n * 9 / 10) break;
+    top.map = cmap;
+    Level next;
+    contract(top.g, top.vwgt, cur_n, cmap, nc, next.g, next.vwgt);
+    levels.push_back(std::move(next));
+    cur_n = nc;
+  }
+  float target = (float)n / parts;
+  float cap = target * (1.0f + imbalance);
+  // initial partition at the coarsest level
+  std::vector<int32_t> part;
+  initial_partition(levels.back().g, levels.back().vwgt, cur_n, parts,
+                    target, part);
+  refine(levels.back().g, levels.back().vwgt, cur_n, parts, cap, part, 8);
+  // uncoarsen with refinement at each level
+  for (int64_t li = (int64_t)levels.size() - 2; li >= 0; --li) {
+    Level& lv = levels[li];
+    int64_t ln = (int64_t)lv.vwgt.size();
+    std::vector<int32_t> fine(ln);
+    for (int64_t v = 0; v < ln; ++v) fine[v] = part[lv.map[v]];
+    part = std::move(fine);
+    refine(lv.g, lv.vwgt, ln, parts, cap, part, li == 0 ? 4 : 2);
+  }
+  std::copy(part.begin(), part.end(), owner);
+}
+
+extern "C" {
+
 // First-improvement sweep local search: repeatedly sweep all nodes in
 // index order, moving each to its best class immediately (gains of later
 // nodes see earlier moves — Gauss-Seidel style), until a full sweep makes

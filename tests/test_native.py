@@ -151,3 +151,28 @@ def test_native_symmetry_check_hash():
     assert symmetry_check_native(s, r, w2) is False
     # directed edge with no reverse
     assert symmetry_check_native(s[:3], r[:3], w[:3]) is False
+
+
+def test_greedy_sweep_native_beats_random_and_is_consistent():
+    from gcn_maxcut_tpu.native.bindings import (
+        greedy_sweep_native, is_available,
+    )
+    if not is_available():
+        import pytest
+        pytest.skip("native toolkit not built")
+    import numpy as np
+    from gcn_maxcut_tpu.data.generate import random_regular_edges
+
+    n, d, k = 4096, 6, 3
+    edges = random_regular_edges(n, d, seed=2)
+    rng = np.random.default_rng(0)
+    init = rng.integers(0, k, n)
+    init[:k] = np.arange(k)
+    asn, cut, sweeps = greedy_sweep_native(edges, n, init, k=k)
+    # returned cut matches a recount, terminals unmoved, beats the
+    # random floor decisively
+    recount = float((asn[edges[:, 0]] != asn[edges[:, 1]]).sum())
+    assert recount == cut
+    np.testing.assert_array_equal(asn[:k], np.arange(k))
+    assert cut / edges.shape[0] > (k - 1) / k + 0.05
+    assert 0 < sweeps <= 100

@@ -482,3 +482,27 @@ def test_shard_graph_block_ell_rcm_recovers_shuffled_band():
         s2, r2, n, D, owner=owner, block_ell=True, local_reorder="rcm"
     )
     assert sg.bell_senders is not None
+
+
+def test_partition_metis_quality_and_balance():
+    """Multilevel partitioner: balanced, complete, and strictly better
+    edge-cut than contiguous on a shuffled banded graph (DESIGN.md §7
+    measured 0.05% vs 87.5% at 1M; this is the small fast version)."""
+    n = 4096
+    senders, receivers = _banded_coo(n, (1, 2, 3), seed=1)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    s2, r2 = perm[senders], perm[receivers]
+    from gcn_maxcut_tpu.parallel import partition_nodes_metis
+    from gcn_maxcut_tpu.parallel.partition import partition_quality
+
+    owner = partition_nodes_metis(s2, r2, n, 8)
+    counts = np.bincount(owner, minlength=8)
+    assert counts.sum() == n
+    assert counts.max() <= -(-n // 8) * 1.06
+    q = partition_quality(owner, s2, r2)
+    qc = partition_quality(
+        partition_nodes_contiguous(n, 8), s2, r2
+    )
+    assert q["cross_shard_edge_fraction"] < 0.05
+    assert q["cross_shard_edge_fraction"] < qc["cross_shard_edge_fraction"]
