@@ -84,7 +84,12 @@ def run_eps(eps, results):
         return
     senders, receivers = semi_local_coo(N, eps, SEED)
     # plan diagnostics (host only): what outlier fraction does eps map to?
-    sg_probe, _ = shard_graph(senders, receivers, N, 1, block_ell=True)
+    # the budget is wide open here — THIS experiment is what derives the
+    # defensible default from the measured perf crossover
+    sg_probe, _ = shard_graph(
+        senders, receivers, N, 1, block_ell=True,
+        block_ell_outlier_frac=0.6,
+    )
     if sg_probe.bell_out_weights is not None:
         n_out = float(np.asarray(sg_probe.bell_out_weights > 0).sum())
     else:
@@ -107,7 +112,8 @@ def run_eps(eps, results):
     )
     for name, cfg in (
         ("gather", GiantConfig(**base)),
-        ("bell", GiantConfig(**base, block_ell=True)),
+        ("bell", GiantConfig(**base, block_ell=True,
+                             block_ell_outlier_frac=0.6)),
     ):
         if name == "bell" and not planned:
             row["bell"] = None

@@ -11,6 +11,7 @@ from gcn_maxcut_tpu.baselines.local_search import (
     breakout_local_search,
     multi_max_cut_recursive,
 )
+from gcn_maxcut_tpu.baselines.sweep import greedy_sweep_maxcut
 from gcn_maxcut_tpu.baselines.exact import (
     brute_force_maxcut,
     recursive_flow_min_cut,
@@ -25,6 +26,7 @@ __all__ = [
     "test_fixed_terminals",
     "quick_demo",
     "greedy_flip_local_search",
+    "greedy_sweep_maxcut",
     "simulated_annealing",
     "breakout_local_search",
     "multi_max_cut_recursive",

@@ -42,12 +42,21 @@ def kway_sweep(
     learning_rate: float = 1e-3,
     seed: int = 0,
     mesh=None,
+    partition: str = "contiguous",
+    block_ell: bool = False,
 ) -> List[Dict[str, float]]:
     """Train one n-node d-regular graph at each k; return per-k results.
 
     Each entry: ``k``, ``final_cut``, ``cut_fraction`` (of total edge
     weight), ``random_fraction`` ((k-1)/k uniform floor), ``edges_per_s``
     (training throughput), ``train_time_s``.
+
+    ``partition``/``block_ell`` pass through to :class:`GiantConfig`
+    (``block_ell`` implies the per-shard RCM relabel).  Note the default
+    sweep graph is a uniform random regular graph — an expander whose
+    local subgraphs never band, so ``block_ell`` silently stays on the
+    gather tables there; it pays off on semi-local graph families
+    (``experiments/bell_crossover.py``).
     """
     edges = _regular_edges(n, d, seed)
     src = np.concatenate([edges[:, 0], edges[:, 1]]).astype(np.int32)
@@ -65,6 +74,9 @@ def kway_sweep(
             epochs_per_call=epochs_per_call,
             seed=seed,
             log_every=max(1, epochs // 4),
+            partition=partition,
+            block_ell=block_ell,
+            local_reorder="rcm" if block_ell else "off",
         )
         t0 = time.perf_counter()
         out = train_giant_graph(

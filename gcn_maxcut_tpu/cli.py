@@ -222,9 +222,16 @@ def _cmd_bench(args) -> int:
             train_banded_giant_packed,
         )
 
-        fn = (train_banded_giant_packed if args.giant_layout == "packed"
-              else train_banded_giant)
-        res = fn(n=args.giant_nodes, d=args.d, epochs=args.giant_epochs)
+        if args.giant_layout == "packed":
+            res = train_banded_giant_packed(
+                n=args.giant_nodes, d=args.d, epochs=args.giant_epochs,
+                act_dtype=(None if args.act_dtype == "float32"
+                           else args.act_dtype),
+            )
+        else:
+            res = train_banded_giant(
+                n=args.giant_nodes, d=args.d, epochs=args.giant_epochs
+            )
         print(json.dumps({"giant": res}, default=float))
     if args.what == "scaling":
         from gcn_maxcut_tpu.bench.scaling import scaling_sweep
@@ -233,7 +240,10 @@ def _cmd_bench(args) -> int:
     if args.what == "kway":
         from gcn_maxcut_tpu.bench.kway_sweep import kway_sweep
 
-        res = kway_sweep(n=args.n, d=args.d, epochs=args.giant_epochs)
+        res = kway_sweep(
+            n=args.n, d=args.d, epochs=args.giant_epochs,
+            partition=args.partition, block_ell=args.block_ell,
+        )
         print(json.dumps({"kway": res}, default=float))
     if args.what == "quality":
         from gcn_maxcut_tpu.bench.quality import run_quality_suite
@@ -465,6 +475,24 @@ def main(argv=None) -> int:
     b.add_argument(
         "--giant-layout", choices=["packed", "plain"], default="packed",
         help="packed = interleaved full-bandwidth kernel (1.4x faster epoch)",
+    )
+    b.add_argument(
+        "--act-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="packed giant activation dtype: bfloat16 = 46.7 vs 62.1 "
+             "ms/epoch at 10M but ~1.3x the epochs to equal quality "
+             "(measured round 5; PARITY §4)",
+    )
+    b.add_argument(
+        "--partition", choices=["contiguous", "bfs", "metis"],
+        default="contiguous",
+        help="node->shard partitioner for the kway sharded trainer "
+             "(metis = native multilevel, DESIGN.md §7)",
+    )
+    b.add_argument(
+        "--block-ell", action="store_true",
+        help="route the sharded trainer's intra-shard aggregation onto "
+             "the block-ELL Pallas kernel (per-shard RCM; falls back to "
+             "gather tables on expanders)",
     )
     b.set_defaults(fn=_cmd_bench)
 

@@ -67,6 +67,12 @@ class GiantConfig:
                                      # aggregation (falls back silently to
                                      # the gather tables when a shard's
                                      # local subgraph does not band)
+    block_ell_outlier_frac: float = 0.02  # planner outlier budget (the
+                                     # measured perf crossover is far
+                                     # higher — experiments/
+                                     # bell_crossover.py — but outliers
+                                     # cost host build time and scatter
+                                     # traffic, so the default stays low)
 
 
 def sharded_cut(
@@ -377,6 +383,7 @@ def train_giant_graph(
     sg, g2l = shard_graph(
         senders, receivers, n, num_shards, owner=owner,
         local_reorder=config.local_reorder, block_ell=config.block_ell,
+        block_ell_outlier_frac=config.block_ell_outlier_frac,
     )
     n_shard = sg.n_shard
 

@@ -72,8 +72,16 @@ def _group_aggregate(sg_shard: ShardedGraph, s, x_src: jnp.ndarray) -> jnp.ndarr
     if s == 0 and sg_shard.bell_senders is not None:
         from gcn_maxcut_tpu.ops.pallas_block_ell import block_ell_spmm
 
-        return block_ell_spmm(
-            x_src.astype(jnp.float32),
+        x_src = x_src.astype(jnp.float32)
+        # lane-pad narrow feature widths to the kernel's 128-lane tile:
+        # the kernel is VPU-one-hot-build-bound (cost independent of F),
+        # so even a padded F=64 or F=3 stream beats the row-descriptor-
+        # bound gather path (which charges per ROW regardless of width)
+        F = x_src.shape[-1]
+        Fp = -(-F // 128) * 128
+        xp = x_src if F == Fp else jnp.pad(x_src, ((0, 0), (0, Fp - F)))
+        y = block_ell_spmm(
+            xp,
             sg_shard.bell_senders,
             sg_shard.bell_weights,
             sg_shard.bell_out_senders,
@@ -83,6 +91,7 @@ def _group_aggregate(sg_shard: ShardedGraph, s, x_src: jnp.ndarray) -> jnp.ndarr
             sg_shard.bell_block,
             sg_shard.bell_wp,
         )
+        return y[:, :F] if F != Fp else y
     if sg_shard.ell_senders is not None:
         return _local_group_aggregate_ell(
             sg_shard.ell_senders[s], sg_shard.ell_weights[s], x_src
@@ -189,7 +198,16 @@ def sharded_gcn_conv(
         else lambda sg, h, ax, sched: make_sharded_spmm(sched)(sg, h, ax)
     )
     h = x * norm
-    if in_f > out_f:
+    if sg_shard.bell_senders is not None:
+        # a block-ELL plan is attached: prefer aggregating on a
+        # 128-lane-aligned side so hop 0 rides the Pallas kernel without
+        # lane padding (same rule as bench.giant_demo.banded_gcn_conv);
+        # ties break to fewer FLOPs like DGL
+        in_al, out_al = in_f % 128 == 0, out_f % 128 == 0
+        project_first = (out_f < in_f) if in_al == out_al else out_al
+    else:
+        project_first = in_f > out_f
+    if project_first:
         h = h @ w
         h = agg(sg_shard, h, axis_name, schedule)
     else:

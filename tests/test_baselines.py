@@ -205,3 +205,30 @@ def test_analyze_benchmark_results(tmp_path):
         summary["by_k"][3]["normalized_cut"], [300 / 400, 610 / 800]
     )
     assert (tmp_path / "bench.png").exists()
+
+
+def test_greedy_sweep_numpy_fallback_matches_contract():
+    """The numpy stochastic-parallel fallback honors the sweep contract:
+    terminals fixed, returned cut consistent, beats the random floor."""
+    import numpy as np
+    from unittest import mock
+    from gcn_maxcut_tpu.baselines import greedy_sweep_maxcut
+    from gcn_maxcut_tpu.data.generate import random_regular_edges
+
+    n, d, k = 512, 6, 3
+    edges = random_regular_edges(n, d, seed=4)
+    rng = np.random.default_rng(1)
+    init = rng.integers(0, k, n)
+    init[:k] = np.arange(k)
+    with mock.patch(
+        "gcn_maxcut_tpu.native.bindings.greedy_sweep_native",
+        return_value=None,
+    ):
+        asn, cut, sweeps = greedy_sweep_maxcut(edges, n, init, k=k)
+    recount = float((asn[edges[:, 0]] != asn[edges[:, 1]]).sum())
+    assert recount == cut
+    np.testing.assert_array_equal(asn[:k], np.arange(k))
+    assert cut / edges.shape[0] > (k - 1) / k + 0.03
+    # native path agrees on the contract (values differ by search order)
+    asn2, cut2, _ = greedy_sweep_maxcut(edges, n, init.copy(), k=k)
+    assert cut2 / edges.shape[0] > (k - 1) / k + 0.03

@@ -120,16 +120,12 @@ def test_trimmed_w1_gradients_match():
 
 
 def test_resolve_auto_thresholds():
-    cfg = TrainingConfig(n_nodes=1000)
-    assert _resolve_dense_aggregation(cfg, n_pad=504, n_graphs=20)
-    assert not _resolve_dense_aggregation(cfg, n_pad=4096, n_graphs=1)
-    assert not _resolve_dense_aggregation(cfg, n_pad=2048, n_graphs=1000)
-    assert _resolve_dense_aggregation(
-        TrainingConfig(n_nodes=1000, aggregation="dense"), n_pad=100_000
-    )
-    assert not _resolve_dense_aggregation(
-        TrainingConfig(n_nodes=1000, aggregation="sparse"), n_pad=8
-    )
+    # round-5 signature: the resolver takes the aggregation policy string
+    assert _resolve_dense_aggregation("auto", n_pad=504, n_graphs=20)
+    assert not _resolve_dense_aggregation("auto", n_pad=4096, n_graphs=1)
+    assert not _resolve_dense_aggregation("auto", n_pad=2048, n_graphs=1000)
+    assert _resolve_dense_aggregation("dense", n_pad=100_000)
+    assert not _resolve_dense_aggregation("sparse", n_pad=8)
 
 
 def test_epoch_fn_dense_vs_sparse_first_epoch():

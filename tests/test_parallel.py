@@ -412,8 +412,10 @@ def _banded_coo(n, offsets, seed=0):
     return np.concatenate([s, r]), np.concatenate([r, s])
 
 
-@pytest.mark.parametrize("local_reorder", ["off", "rcm"])
-def test_shard_graph_block_ell_attaches_and_matches(local_reorder):
+@pytest.mark.parametrize(
+    "local_reorder,F", [("off", 128), ("rcm", 128), ("off", 64), ("off", 3)]
+)
+def test_shard_graph_block_ell_attaches_and_matches(local_reorder, F):
     """Hop-0 block-ELL routing equals the dense reference.
 
     The ring is simulated hop by hop OUTSIDE shard_map (out[d] = sum_s
@@ -437,22 +439,22 @@ def test_shard_graph_block_ell_attaches_and_matches(local_reorder):
     owner, local = g2l // n_shard, g2l % n_shard
 
     rng = np.random.default_rng(3)
-    x_global = rng.normal(size=(n, 128)).astype(np.float32)
+    x_global = rng.normal(size=(n, F)).astype(np.float32)
     dense = np.zeros((n, n), np.float32)
     dense[receivers, senders] = 1.0
     expect = dense @ x_global
 
-    x_sh = np.zeros((D, n_shard, 128), np.float32)
+    x_sh = np.zeros((D, n_shard, F), np.float32)
     x_sh[owner, local] = x_global
     x_sh = jnp.asarray(x_sh)
 
-    out = np.zeros((D, n_shard, 128), np.float32)
+    out = np.zeros((D, n_shard, F), np.float32)
     with pltpu.force_tpu_interpret_mode():
         for d in range(D):
             sgl = jax.tree_util.tree_map(
                 lambda a: a[d] if getattr(a, "ndim", 0) > 0 else a, sg
             )
-            acc = jnp.zeros((n_shard, 128), jnp.float32)
+            acc = jnp.zeros((n_shard, F), jnp.float32)
             for s in range(D):
                 acc = acc + _group_aggregate(sgl, s, x_sh[(d + s) % D])
             out[d] = np.asarray(acc)
