@@ -352,7 +352,15 @@ def plan_block_ell(
         if b is not None:
             chosen = (force_wp, b, in_win, n_escape)
     else:
-        for tier_cap in (max(64, e // 1000), cap // 2):
+        # escape-budget ladder, tightest first: a LOOSE final budget must
+        # not let a too-small window win over one that escapes far less
+        # (a 2-rung ladder once accepted wp=128 at 29% escapes when
+        # wp=448 had 5% — the intermediate rungs find the right window
+        # before the loose rung applies)
+        tiers = sorted(
+            {max(64, e // 1000), e // 100, e // 20, e // 10, cap // 2}
+        )
+        for tier_cap in (t for t in tiers if t <= cap // 2):
             for wp in candidates:
                 b, in_win, n_escape = escapes(wp)
                 if b is not None and n_escape <= tier_cap:
@@ -373,7 +381,12 @@ def plan_block_ell(
         ranks = np.arange(r_in.shape[0]) - starts[r_in]
         # smallest width whose degree spill fits the remaining budget
         max_deg = int(counts.max()) if r_in.size else 0
-        spill_budget = cap - n_escape
+        # degree-spill budget stays tight (2% of E) even when the caller
+        # loosens the WINDOW-ESCAPE budget: outliers ride a scatter, and a
+        # loose joint budget once starved the table to width 4 / 50% of E
+        # in the outlier list (0.28x the gather path, measured — the
+        # crossover experiment's first casualty)
+        spill_budget = max(0, min(cap - n_escape, int(0.02 * e)))
         width = max_deg
         if force_width is not None:
             width = force_width
