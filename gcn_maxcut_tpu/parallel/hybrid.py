@@ -108,6 +108,49 @@ def stack_sharded_graphs(sgs: Sequence[ShardedGraph]) -> ShardedGraph:
             ell_weights=jnp.stack([pad_ell(sg.ell_weights, 0.0) for sg in sgs]),
             ell_mask=jnp.stack([pad_ell(sg.ell_mask, 0.0) for sg in sgs]),
         )
+    # hop-0 block-ELL plans stack only when every graph planned with the
+    # SAME kernel geometry (block/wp are static); otherwise drop the plans
+    # (exactness never depends on them — hop 0 falls back to the tables)
+    if all(sg.bell_senders is not None for sg in sgs):
+        geoms = {(sg.bell_block, sg.bell_wp) for sg in sgs}
+        if len(geoms) == 1:
+            bw = max(sg.bell_senders.shape[-1] for sg in sgs)
+            o_pad = max(sg.bell_out_senders.shape[-1] for sg in sgs)
+
+            def pad_last(a, width, fill):
+                pad = width - a.shape[-1]
+                if pad == 0:
+                    return a
+                cfg = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+                return jnp.pad(a, cfg, constant_values=fill)
+
+            kw.update(
+                bell_senders=jnp.stack(
+                    [pad_last(sg.bell_senders, bw, n_shard - 1)
+                     for sg in sgs]
+                ),
+                bell_weights=jnp.stack(
+                    [pad_last(sg.bell_weights, bw, 0.0) for sg in sgs]
+                ),
+                bell_out_senders=jnp.stack(
+                    [pad_last(sg.bell_out_senders, o_pad, n_shard - 1)
+                     for sg in sgs]
+                ),
+                bell_out_receivers=jnp.stack(
+                    [pad_last(sg.bell_out_receivers, o_pad, n_shard - 1)
+                     for sg in sgs]
+                ),
+                bell_out_weights=jnp.stack(
+                    [pad_last(sg.bell_out_weights, o_pad, 0.0) for sg in sgs]
+                ),
+                bell_block=sgs[0].bell_block,
+                bell_wp=sgs[0].bell_wp,
+            )
+        else:
+            logger.info(
+                "stack_sharded_graphs: dropping block-ELL plans "
+                "(mismatched kernel geometries %s)", geoms,
+            )
     return ShardedGraph(**kw)
 
 
@@ -284,7 +327,25 @@ def train_hybrid(
 
     sgs, g2ls = [], []
     for s, r_ in edge_lists:
-        sg, g2l = shard_graph(s, r_, n, D)
+        owner = None
+        if config.partition == "bfs":
+            from gcn_maxcut_tpu.parallel.partition import partition_nodes_bfs
+
+            owner = partition_nodes_bfs(s, r_, n, D)
+        elif config.partition == "metis":
+            from gcn_maxcut_tpu.parallel.partition import (
+                partition_nodes_metis,
+            )
+
+            owner = partition_nodes_metis(s, r_, n, D)
+        elif config.partition != "contiguous":
+            raise ValueError(f"unknown partition {config.partition!r}")
+        sg, g2l = shard_graph(
+            s, r_, n, D, owner=owner,
+            local_reorder=config.local_reorder,
+            block_ell=config.block_ell,
+            block_ell_outlier_frac=config.block_ell_outlier_frac,
+        )
         sgs.append(sg)
         g2ls.append(g2l)
     sgb = stack_sharded_graphs(sgs)

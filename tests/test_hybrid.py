@@ -133,3 +133,32 @@ def test_stack_sharded_graphs_pads_mismatched_e_group():
     w = np.asarray(sgb.weights[0])
     m = np.asarray(sgb.edge_mask[0])
     assert (w[m == 0] == 0).all()
+
+
+def test_stack_sharded_graphs_stacks_matching_bell_plans():
+    import numpy as np
+    from gcn_maxcut_tpu.parallel.hybrid import stack_sharded_graphs
+    from gcn_maxcut_tpu.parallel.partition import shard_graph
+
+    n = 2048
+    offs = (1, 2, 5)
+
+    def coo(shift):
+        s = np.concatenate([np.arange(n) for _ in offs]).astype(np.int64)
+        r = np.concatenate(
+            [(np.arange(n) + o + shift) % n for o in offs]
+        ).astype(np.int64)
+        keep = s != r
+        s, r = s[keep], r[keep]
+        return np.concatenate([s, r]), np.concatenate([r, s])
+
+    sgs = []
+    for shift in (0, 1):
+        s, r = coo(shift)
+        sg, _ = shard_graph(s, r, n, 1, block_ell=True)
+        assert sg.bell_senders is not None
+        sgs.append(sg)
+    sgb = stack_sharded_graphs(sgs)
+    assert sgb.bell_senders is not None
+    assert sgb.bell_senders.shape[0] == 2
+    assert sgb.bell_block == sgs[0].bell_block
