@@ -295,7 +295,7 @@ def plan_block_ell(
     n_pad: int,
     *,
     max_wp: int = 512,
-    max_outlier_frac: float = 0.02,
+    max_outlier_frac: float = 0.05,
     force_wp: int | None = None,
     force_width: int | None = None,
 ) -> BlockEllPlan | None:
@@ -316,6 +316,13 @@ def plan_block_ell(
     pytree); the outlier budget is NOT enforced for forced geometry — all
     escapes/spills go to the outlier COO, so the operator stays exact
     regardless, the caller owns the perf judgement.
+
+    ``max_outlier_frac`` default (0.05) is DERIVED FROM MEASUREMENT
+    (round 5, ``experiments/bell_crossover.py`` on v5e, n=100k banded +
+    eps rewires, full sharded-trainer epochs): the kernel beats the
+    gather path 1.57-1.85x at outlier fractions up to 5%, is break-even
+    around ~12% (1.06x at 10%), and LOSES at 25% (0.66x — the outlier
+    correction is a scatter).  docs/bell_crossover_r5.json.
     """
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)

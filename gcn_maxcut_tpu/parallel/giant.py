@@ -67,12 +67,11 @@ class GiantConfig:
                                      # aggregation (falls back silently to
                                      # the gather tables when a shard's
                                      # local subgraph does not band)
-    block_ell_outlier_frac: float = 0.02  # planner outlier budget (the
-                                     # measured perf crossover is far
-                                     # higher — experiments/
-                                     # bell_crossover.py — but outliers
-                                     # cost host build time and scatter
-                                     # traffic, so the default stays low)
+    block_ell_outlier_frac: float = 0.05  # planner outlier budget —
+                                     # measured crossover: the kernel
+                                     # wins 1.57-1.85x up to 5% outliers,
+                                     # break-even ~12%, loses at 25%
+                                     # (experiments/bell_crossover.py)
 
 
 def sharded_cut(

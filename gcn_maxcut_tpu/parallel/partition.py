@@ -255,7 +255,7 @@ def shard_graph(
     use_native: bool = True,
     local_reorder: str = "off",
     block_ell: bool = False,
-    block_ell_outlier_frac: float = 0.02,
+    block_ell_outlier_frac: float = 0.05,
 ) -> Tuple[ShardedGraph, np.ndarray]:
     """Build a `ShardedGraph` from directed COO arrays.
 
@@ -465,7 +465,7 @@ def shard_graph(
 
 
 def _plan_local_block_ell(S, R, W, M, num_shards, n_shard,
-                          max_outlier_frac: float = 0.02):
+                          max_outlier_frac: float = 0.05):
     """Stacked per-shard block-ELL plans for the hop-0 (local) groups.
 
     Plans every shard's local subgraph with ``ops.pallas_block_ell.
