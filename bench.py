@@ -148,6 +148,11 @@ def main():
                 banded["hbm_regime_n"] * banded["d"],
                 banded["banded_roofline_edges_per_s"],
             ),
+            banded_weighted_fwd_hbm_regime=_kernel_entry(
+                banded["hbm_regime_weighted_fwd_stats"],
+                banded["hbm_regime_n"] * banded["d"],
+                banded["weighted_roofline_edges_per_s"],
+            ),
         )
         print(
             f"[bench] general spmm fwd+bwd: {spmm['fwdbwd_edges_per_s']:.3e} edges/s; "

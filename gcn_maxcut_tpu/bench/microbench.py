@@ -307,11 +307,24 @@ def bench_spmm_banded(
         k_hi=20, k_lo=4,
     )
     e_big = n_big * d
+    # weighted kernel in the same guaranteed-HBM-resident regime: round 5
+    # found the n=131k weighted reading can exceed its physical roofline
+    # when chained iterations go partially VMEM-resident (8.7e9 measured
+    # once vs the 6.3e9 roofline — docs/weighted_stability_r5.json), so
+    # the large-n row is the regime-unambiguous number
+    wb = jax.random.uniform(jax.random.PRNGKey(3), (n_big, d),
+                            jnp.float32) + 0.5
+    st_big_w = _scan_timeit_stats(
+        lambda x_: banded_spmm(x_, wb, offsets) * scale, xb,
+        k_hi=20, k_lo=4,
+    )
     res.update(
         hbm_regime_n=n_big,
         hbm_regime_fwd_edges_per_s=e_big / st_big["best_s"],
         hbm_regime_fwd_stats=st_big,
         hbm_regime_gbps=2 * n_big * feature_dim * 4 / st_big["best_s"] / 1e9,
+        hbm_regime_weighted_fwd_edges_per_s=e_big / st_big_w["best_s"],
+        hbm_regime_weighted_fwd_stats=st_big_w,
     )
     logger.info(
         "banded spmm n=%d d=%d W=%d: unit fwd %.2e edges/s (%.0f%% of stream "

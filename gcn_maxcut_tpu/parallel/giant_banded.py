@@ -213,6 +213,11 @@ class PackedHaloGiantConfig:
                                     # default, measured quality-neutral
                                     # and −2.2 ms/epoch on the single-chip
                                     # twin (PARITY §4); None = f32.
+    act_dtype: str | None = None    # opt-in bf16 activation pipeline —
+                                    # mirrors the single-chip twin's
+                                    # measured tradeoff (46.7 vs 62.1
+                                    # ms/epoch at 10M, ~1.3x the epochs
+                                    # to equal quality); None = f32.
 
 
 def make_packed_halo_step(
@@ -235,13 +240,23 @@ def make_packed_halo_step(
         raise ValueError("dim_embedding must be a multiple of 16")
     inv_d = 1.0 / config.d
 
+    act = jnp.dtype(
+        config.act_dtype if config.act_dtype is not None else jnp.float32
+    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, r * G), 1)
-    class_ok = (lane % G < k).astype(jnp.float32)                # [1, r*16]
+    class_ok = (lane % G < k).astype(act)                        # [1, r*16]
     grp = lane // G
-    term_cols = (grp < k).astype(jnp.float32)
-    term_onehot = ((lane % G) == grp).astype(jnp.float32) * term_cols
+    term_cols = (grp < k).astype(act)
+    term_onehot = ((lane % G) == grp).astype(act) * term_cols
     eye_r = jnp.eye(r, dtype=jnp.float32)
-    sum_bcast = jnp.kron(eye_r, jnp.ones((G, G), jnp.float32))
+    sum_bcast = jnp.kron(eye_r, jnp.ones((G, G), jnp.float32)).astype(act)
+
+    def group_max(h):
+        # bf16 activations use the reshape formulation (reduce_window's
+        # init_value is a static f32 scalar; reduce_max follows dtype)
+        if act != jnp.float32:
+            return h.reshape(m_shard, r, G).max(axis=-1).reshape(m_shard, r)
+        return _group_max(h)
 
     def local_step(conv_params, embed, opt_state):
         wide = embed[0]                                 # [m_shard, r*emb]
@@ -251,27 +266,27 @@ def make_packed_halo_step(
         def spmm(h):
             L = h.shape[1]
             hh = h.reshape(n_loc, L // r)
-            if config.agg_dtype is not None:
+            if config.agg_dtype is not None and act == jnp.float32:
                 hh = hh.astype(config.agg_dtype)
             out = halo_banded_spmm_unit_packed(
                 hh, offsets, r, axis, config.block
             )
-            return out.astype(jnp.float32).reshape(m_shard, L)
+            return out.astype(act).reshape(m_shard, L)
 
         def loss_fn(conv_params, wide_rows):
-            k1w = jnp.kron(eye_r, conv_params["conv1"]["w"])
-            k2w = jnp.kron(eye_r, conv_params["conv2"]["w"])
-            b1 = jnp.tile(conv_params["conv1"]["b"], r)
-            b2 = jnp.tile(conv_params["conv2"]["b"], r)
-            h = wide_rows @ k1w
-            h = spmm(h) * inv_d + b1
+            k1w = jnp.kron(eye_r, conv_params["conv1"]["w"]).astype(act)
+            k2w = jnp.kron(eye_r, conv_params["conv2"]["w"]).astype(act)
+            b1 = jnp.tile(conv_params["conv1"]["b"], r).astype(act)
+            b2 = jnp.tile(conv_params["conv2"]["b"], r).astype(act)
+            h = wide_rows.astype(act) @ k1w
+            h = spmm(h) * act.type(inv_d) + b1
             h = jax.nn.relu(h)
             h = h @ k2w
-            h = spmm(h) * inv_d + b2
+            h = spmm(h) * act.type(inv_d) + b2
             # masked group softmax (windowed max is shift-invariant ->
             # stop_gradient; no select-and-scatter lowering on TPU)
             gmax = jax.lax.stop_gradient(
-                _bcast(_group_max(h + (class_ok - 1.0) * 1e9))
+                _bcast(group_max(h + (class_ok - 1.0) * 1e9))
             )
             e = jnp.exp(h - gmax) * class_ok
             probs = e / (e @ sum_bcast)
@@ -279,16 +294,19 @@ def make_packed_halo_step(
             my = jax.lax.axis_index(axis)
             row0 = (
                 (jnp.arange(m_shard)[:, None] == 0) & (my == 0)
-            ).astype(jnp.float32)
+            ).astype(act)
             is_term = row0 * term_cols
             pinned_hard = is_term * term_onehot + (1.0 - is_term) * probs
             pinned = jax.lax.stop_gradient(pinned_hard - probs) + probs
             hard = jax.lax.stop_gradient(
-                (pinned >= _bcast(_group_max(pinned))).astype(jnp.float32)
+                (pinned >= _bcast(group_max(pinned))).astype(act)
                 * class_ok
             )
             onehot = jax.lax.stop_gradient(hard - pinned) + pinned
-            same = jnp.vdot(onehot, spmm(onehot))
+            # f32 reduction (cut ~ n*d/2, beyond bf16 resolution)
+            same = jnp.vdot(
+                onehot.astype(jnp.float32), spmm(onehot).astype(jnp.float32)
+            )
             return -(e_local - 0.5 * same)
 
         loss_loc, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
