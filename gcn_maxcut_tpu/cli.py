@@ -122,6 +122,30 @@ def _cmd_solve(args) -> int:
     from gcn_maxcut_tpu.baselines import anytime_solver, randomized_k_way_maxcut
     from gcn_maxcut_tpu.data import DataConfig, generate_graph, process_graphs
 
+    if args.method == "sweep":
+        # the scalable classical search (O(E) per sweep, native) — right
+        # for n where the SA solver's O(E)-per-move chains cannot run
+        import time as _time
+
+        import numpy as _np
+
+        from gcn_maxcut_tpu.baselines import greedy_sweep_maxcut
+        from gcn_maxcut_tpu.data.generate import random_regular_edges
+
+        edges = random_regular_edges(args.n, args.d, seed=args.seed)
+        rng = _np.random.default_rng(args.seed)
+        init = rng.integers(0, args.k, args.n)
+        init[: args.k] = _np.arange(args.k)
+        t0 = _time.perf_counter()
+        _, cut, sweeps = greedy_sweep_maxcut(edges, args.n, init, k=args.k)
+        print(json.dumps({
+            "n": args.n, "d": args.d, "k": args.k, "method": "greedy_sweep",
+            "cut_value": cut, "cut_fraction": cut / edges.shape[0],
+            "sweeps": sweeps,
+            "solve_time_s": round(_time.perf_counter() - t0, 3),
+        }))
+        return 0
+
     spec = generate_graph(n=args.n, d=args.d, graph_type="reg", seed=args.seed)
     ds = process_graphs([spec], DataConfig(max_nodes=args.n))
     g = ds.graphs[0]
@@ -441,12 +465,17 @@ def main(argv=None) -> int:
     e.add_argument("--output", default=None)
     e.set_defaults(fn=_cmd_test)
 
-    s = sub.add_parser("solve", help="run the anytime solver on a random graph")
+    s = sub.add_parser("solve", help="run a classical solver on a random graph")
     s.add_argument("--n", type=int, default=100)
     s.add_argument("--d", type=int, default=8)
     s.add_argument("--k", type=int, default=3)
     s.add_argument("--time-limit", type=float, default=60.0)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument(
+        "--method", choices=["anytime", "sweep"], default="anytime",
+        help="anytime = SA+greedy (CPLEX stand-in, n<=~1k); sweep = the "
+             "native O(E)-per-sweep search for 100k..10M-node graphs",
+    )
     s.set_defaults(fn=_cmd_solve)
 
     c = sub.add_parser(
