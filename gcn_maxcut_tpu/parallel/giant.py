@@ -352,6 +352,9 @@ def train_giant_graph(
     axis: str = "graph",
     measure_throughput: bool = False,
     return_assignment: bool = False,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int | None = None,
+    resume_from: str | None = None,
 ) -> Dict[str, Any]:
     """End-to-end: partition -> sharded training -> decoded cut value.
 
@@ -361,6 +364,17 @@ def train_giant_graph(
     ``return_assignment``: additionally decode the trained model once
     (:func:`decode_assignment`) and return ``assignment`` in GLOBAL node
     order — the input to classical refinement / at-scale baseline tables.
+
+    ``checkpoint_path``/``checkpoint_every``/``resume_from``: at-scale
+    failure recovery (SURVEY §5.3/§5.4 for the giant configs): the full
+    (conv params, sharded embedding, Adam state) pytree saves as the same
+    portable flattened-``.npz`` the reference-scale loop uses
+    (``train/checkpoint.py``), every ``checkpoint_every`` epochs (rounded
+    to chunk boundaries) and at the end; ``resume_from`` restores and
+    continues — chunk-aligned resume reproduces the uninterrupted
+    trajectory exactly (deterministic scanned epochs).  Checkpoints are
+    written at 10M-node scale too (embedding 1.3 GB; ~seconds of host
+    IO).
     """
     if config.number_epochs < 1:
         raise ValueError(
@@ -399,15 +413,42 @@ def train_giant_graph(
     optimizer = optax.adam(config.learning_rate)
     opt_state = optimizer.init((conv_params, embed))
 
+    history = []
+    epoch = 0
+    if resume_from is not None:
+        from gcn_maxcut_tpu.train.checkpoint import load_checkpoint
+
+        conv_params, opt_state, embed_h, meta = load_checkpoint(
+            resume_from, conv_params, opt_state, embed
+        )
+        embed = jax.device_put(
+            jnp.asarray(embed_h), NamedSharding(mesh, P(axis))
+        )
+        epoch = int(meta["epoch"])
+        history = list(meta["loss_history"])
+        logger.info("resumed %s at epoch %d", resume_from, epoch)
+
     step = make_giant_step(
         sg, mesh, config, optimizer, axis, opt_state,
         params=(conv_params, embed),
     )
 
+    def _save(tag_epoch, losses_hist):
+        from gcn_maxcut_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_path,
+            params=conv_params,
+            opt_state=opt_state,
+            embed=jax.device_get(embed),
+            epoch=tag_epoch,
+            loss_history=losses_hist,
+        )
+        logger.info("checkpoint @ epoch %d -> %s", tag_epoch, checkpoint_path)
+
     t0 = time.perf_counter()
-    history = []
-    epoch = 0
     steady_t0 = None
+    chunk_losses = None
     K = max(1, config.epochs_per_call)
     # chunks are fixed-size (scan length is static); total epochs round up
     # to a multiple of epochs_per_call, like the giant_demo trainers
@@ -431,7 +472,16 @@ def train_giant_graph(
                     "giant epoch %d: loss %.1f (cut %.0f)", epoch + j, lf, -lf
                 )
         epoch += K
-    final_loss = float(chunk_losses[-1])
+        if checkpoint_path is not None and checkpoint_every is not None:
+            interval = max(K, (checkpoint_every // K) * K)  # chunk-aligned
+            if epoch % interval == 0 and epoch < config.number_epochs:
+                _save(epoch, history)
+    final_loss = (
+        float(chunk_losses[-1]) if chunk_losses is not None
+        else (history[-1] if history else float("nan"))
+    )  # a resume at/past number_epochs runs no chunks
+    if checkpoint_path is not None:
+        _save(epoch, history)
     train_time = time.perf_counter() - t0
 
     e_directed = int(senders.shape[0])

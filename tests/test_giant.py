@@ -103,3 +103,38 @@ def test_measure_throughput_amortized():
     assert res["epoch_time_s_amortized"] > 0
     assert "amortized" in res["timing_method"]
     assert np.isfinite(res["timing_spread_s"])
+
+
+def test_giant_checkpoint_resume_reproduces_trajectory(tmp_path):
+    """Chunk-aligned resume reproduces the uninterrupted run exactly
+    (deterministic scanned epochs + full opt-state restore)."""
+    import numpy as np
+    from gcn_maxcut_tpu.parallel.giant import GiantConfig, train_giant_graph
+
+    n = 256
+    offs = (1, 2, 5)
+    s = np.concatenate([np.arange(n) for _ in offs]).astype(np.int64)
+    r = np.concatenate([(np.arange(n) + o) % n for o in offs]).astype(
+        np.int64
+    )
+    S, R = np.concatenate([s, r]), np.concatenate([r, s])
+    base = dict(
+        num_classes=3, dim_embedding=16, hidden_dim=8,
+        epochs_per_call=4, log_every=1, seed=0,
+    )
+    full = train_giant_graph(
+        S, R, n, GiantConfig(number_epochs=8, **base)
+    )
+    ckpt = str(tmp_path / "giant_ck")
+    first = train_giant_graph(
+        S, R, n, GiantConfig(number_epochs=4, **base),
+        checkpoint_path=ckpt,
+    )
+    resumed = train_giant_graph(
+        S, R, n, GiantConfig(number_epochs=8, **base),
+        resume_from=ckpt,
+    )
+    assert resumed["epochs"] == 8
+    np.testing.assert_allclose(
+        resumed["final_loss"], full["final_loss"], rtol=1e-6
+    )
