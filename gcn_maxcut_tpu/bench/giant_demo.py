@@ -200,6 +200,9 @@ def train_banded_giant_packed(
     act_dtype=None,
     mu_dtype="bfloat16",
     return_assignment: bool = False,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int | None = None,
+    resume_from: str | None = None,
 ) -> Dict[str, float]:
     """10M-node banded training with every aggregation on the packed
     full-bandwidth kernel.  Same objective/optimizer as
@@ -338,22 +341,59 @@ def train_banded_giant_packed(
         )
         return params, opt_state, losses
 
+    history = []
+    start_done = 0
+    if resume_from is not None:
+        from gcn_maxcut_tpu.train.checkpoint import load_checkpoint
+
+        params, opt_state, _, meta = load_checkpoint(
+            resume_from, params, opt_state
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        start_done = int(meta["epoch"])
+        history = list(meta["loss_history"])
+        logger.info("resumed %s at epoch %d", resume_from, start_done)
+        if start_done >= epochs:
+            raise ValueError(
+                f"checkpoint already at epoch {start_done} >= epochs={epochs}"
+            )
+
+    def _save(tag_epoch):
+        from gcn_maxcut_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_path,
+            params=jax.device_get(params),
+            opt_state=jax.device_get(opt_state),
+            epoch=tag_epoch,
+            loss_history=history,
+        )
+        logger.info("checkpoint @ epoch %d -> %s", tag_epoch, checkpoint_path)
+
     t0 = time.perf_counter()
     params, opt_state, losses = steps(params, opt_state, None)
-    history = [float(x) for x in np.asarray(losses)]
+    history += [float(x) for x in np.asarray(losses)]
     compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    done = epochs_per_call
+    done = start_done + epochs_per_call
     # always time at least one steady-state chunk (epochs <= epochs_per_call
-    # would otherwise report a ~0-second epoch)
-    while done < epochs or done == epochs_per_call:
+    # would otherwise report a ~0-second epoch); resumed runs train exactly
+    # to `epochs` so resume reproduces the uninterrupted trajectory
+    while done < epochs or (start_done == 0 and done == epochs_per_call):
         params, opt_state, losses = steps(params, opt_state, None)
         history += [float(x) for x in np.asarray(losses)]  # hard sync
         done += epochs_per_call
+        if checkpoint_path is not None and checkpoint_every is not None:
+            iv = max(epochs_per_call,
+                     (checkpoint_every // epochs_per_call) * epochs_per_call)
+            if done % iv == 0 and done < epochs:
+                _save(done)
     steady = time.perf_counter() - t0
-    timed_epochs = max(1, done - epochs_per_call)
+    timed_epochs = max(1, done - start_done - epochs_per_call)
     epoch_time = steady / timed_epochs
+    if checkpoint_path is not None:
+        _save(done)
 
     final_cut = -history[-1]
     res = {

@@ -61,6 +61,12 @@ def save_checkpoint(
     for prefix, tree in (("params", params), ("opt", opt_state), ("embed", embed)):
         if tree is not None:
             for k, v in _flatten_with_paths(tree).items():
+                v = np.asarray(v)
+                if v.dtype.kind == "V" or v.dtype.name == "bfloat16":
+                    # bf16 (ml_dtypes) does not round-trip through npz
+                    # (loads back as raw void); store as f32 — lossless
+                    # upcast, restored to the template dtype on load
+                    v = v.astype(np.float32)
                 arrays[f"{prefix}:{k}"] = v
     meta = {
         "epoch": int(epoch),
@@ -103,6 +109,9 @@ def load_checkpoint(
                         f"checkpoint leaf {prefix}:{k} shape {arr.shape} != "
                         f"template {tmpl.shape}"
                     )
+                if arr.dtype != tmpl.dtype:
+                    # bf16 leaves were stored as f32 (npz round-trip)
+                    arr = arr.astype(tmpl.dtype)
                 leaves.append(arr)
             treedef = jax.tree_util.tree_structure(template)
             return jax.tree_util.tree_unflatten(treedef, leaves)

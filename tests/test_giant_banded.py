@@ -156,3 +156,24 @@ def test_packed_halo_bf16_activation_matches_single_chip_twin():
     np.testing.assert_allclose(
         multi["final_cut"], single["final_cut"], rtol=5e-3
     )
+
+
+def test_packed_demo_checkpoint_resume(tmp_path):
+    """Packed 10M-demo trainer (small twin): chunk-aligned resume
+    reproduces the uninterrupted trajectory."""
+    from gcn_maxcut_tpu.bench.giant_demo import train_banded_giant_packed
+
+    kw = dict(n=1024, d=4, bandwidth=15, epochs_per_call=5, seed=0)
+    with pltpu.force_tpu_interpret_mode():
+        full = train_banded_giant_packed(epochs=20, **kw)
+        ck = str(tmp_path / "packed_ck")
+        # note: epochs <= epochs_per_call runs one forced steady-timing
+        # chunk, so this trains (and records) exactly 10 epochs
+        train_banded_giant_packed(epochs=10, checkpoint_path=ck, **kw)
+        resumed = train_banded_giant_packed(
+            epochs=20, resume_from=ck, **kw
+        )
+    assert resumed["epochs"] == 20
+    np.testing.assert_allclose(
+        resumed["final_cut"], full["final_cut"], rtol=1e-6
+    )
