@@ -138,3 +138,31 @@ def test_giant_checkpoint_resume_reproduces_trajectory(tmp_path):
     np.testing.assert_allclose(
         resumed["final_loss"], full["final_loss"], rtol=1e-6
     )
+
+
+def test_giant_trainer_metis_partition():
+    """partition='metis' end-to-end through the sharded trainer on a
+    semi-local graph: trains and matches the contiguous-partition cut
+    band (the objective is partition-invariant; only ring traffic moves)."""
+    import numpy as np
+    from gcn_maxcut_tpu.parallel.giant import GiantConfig, train_giant_graph
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    offs = rng.choice(np.arange(1, 65), 2, replace=False)
+    s = np.concatenate([np.arange(n)] * 2)
+    r = np.concatenate([(np.arange(n) + o) % n for o in offs])
+    rew = rng.random(r.shape[0]) < 0.05
+    r = np.where(rew, rng.integers(0, n, r.shape[0]), r)
+    keep = s != r
+    s, r = s[keep], r[keep]
+    S, R = np.concatenate([s, r]), np.concatenate([r, s])
+    base = dict(
+        num_classes=3, dim_embedding=16, hidden_dim=8,
+        number_epochs=12, epochs_per_call=4, log_every=4, seed=0,
+    )
+    out_m = train_giant_graph(S, R, n, GiantConfig(partition="metis", **base))
+    out_c = train_giant_graph(S, R, n, GiantConfig(**base))
+    e_und = S.shape[0] // 2
+    assert out_m["final_cut"] / e_und > 0.5
+    assert abs(out_m["final_cut"] - out_c["final_cut"]) / e_und < 0.1
