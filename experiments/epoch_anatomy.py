@@ -32,6 +32,22 @@ aggregation-bound):
   bf16act_remat  both
   candidate      bf16act + remat + mu_dtype=bfloat16
 
+Forward decomposition (all run the fwd_only harness).  Measured at 10M
+(fwd_only total 34.3 ms): fwd_nohead 14.1 (convs+aggregations),
+fwd_nospmm 27.0, fwd_f32agg 38.6.  So the softmax/STE head is ~20 ms of
+the forward — and since fwd_only saves NO residuals, that cost is pure
+pass count: the `e @ sum_bcast` matmul and the two reduce_window maxes
+are fusion boundaries forcing ~6-8 extra 640 MB round-trips.  Remaining
+f32-safe wins are ~5 ms scale (reshape-sum instead of the kron matmul,
+etc.) against ~3% tunnel noise — the quality-safe floor for this epoch
+on this platform is ~60 ms; the bf16-activation knob (46.7 ms) is the
+lever past it.
+
+  fwd_nospmm     forward with aggregations replaced by identity
+  fwd_nohead     forward stopping after conv2 (loss = sum(h) -- no
+                 softmax/STE/loss aggregation)
+  fwd_f32agg     forward with full-f32 aggregation streams
+
 Run:  python experiments/epoch_anatomy.py [n] [epochs_per_call] [chunks]
 """
 
@@ -95,7 +111,7 @@ def build_step(
     offsets = tuple(int(o) for s in half for o in (s, -s))
     e_undirected = n * d // 2
     inv_d = 1.0 / d
-    agg_dtype = None if variant == "f32agg" else "bfloat16"
+    agg_dtype = None if variant in ("f32agg", "fwd_f32agg") else "bfloat16"
 
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -147,7 +163,7 @@ def build_step(
         return jnp.repeat(g16, g, axis=1)
 
     def spmm(h):
-        if variant == "no_spmm":
+        if variant in ("no_spmm", "fwd_nospmm"):
             return h
         L = h.shape[1]
         hh = h.reshape(n, L // r)
@@ -192,9 +208,12 @@ def build_step(
         h = jax.nn.relu(h)
         h = h @ k2w
         h = spmm(h) * act(inv_d) + b2
+        if variant == "fwd_nohead":
+            return jnp.sum(h.astype(jnp.float32))
         return (jax.checkpoint(head) if remat else head)(h)
 
-    if variant in ("fwd_only", "bf16act_fwd"):
+    if variant in ("fwd_only", "bf16act_fwd", "fwd_nospmm", "fwd_nohead",
+                   "fwd_f32agg"):
 
         @jax.jit
         def steps(params, opt_state, _):
