@@ -38,10 +38,14 @@ fwd_nospmm 27.0, fwd_f32agg 38.6.  So the softmax/STE head is ~20 ms of
 the forward — and since fwd_only saves NO residuals, that cost is pure
 pass count: the `e @ sum_bcast` matmul and the two reduce_window maxes
 are fusion boundaries forcing ~6-8 extra 640 MB round-trips.  Remaining
-f32-safe wins are ~5 ms scale (reshape-sum instead of the kron matmul,
-etc.) against ~3% tunnel noise — the quality-safe floor for this epoch
-on this platform is ~60 ms; the bf16-activation knob (46.7 ms) is the
-lever past it.
+f32-safe wins are ~5 ms scale against ~3% tunnel noise — and the one
+candidate was MEASURED AND REJECTED: "fusedhead" (reshape-based group
+sum replacing the kron-ones matmul for the softmax denominator,
+algebraically identical) runs **80.2 ms vs 64.3** — the trailing-axis
+reduce + repeat costs far more in layout than the matmul boundary costs
+in traffic, vindicating the original MXU formulation.  The quality-safe
+floor for this epoch on this platform is ~60 ms; the bf16-activation
+knob (46.7 ms) is the lever past it.
 
   fwd_nospmm     forward with aggregations replaced by identity
   fwd_nohead     forward stopping after conv2 (loss = sum(h) -- no
@@ -140,7 +144,13 @@ def build_step(
     # remat/bf16 variants (and "reshmax", which isolates the change) use a
     # reshape-based group max: reduce_max has full autodiff/linearization
     # support and follows the operand dtype
-    reshape_max = remat or bf16act or variant in ("reshmax",)
+    reshape_max = remat or bf16act or variant in ("reshmax", "fusedhead")
+    # "fusedhead": f32 + reshape-based group SUM for the softmax
+    # denominator instead of the kron-ones matmul — algebraically the
+    # same 16-value sums, but the matmul is a fusion boundary (e must
+    # materialize as its input) while a trailing-axis reduce can fuse
+    # with the exp producer and the divide consumer
+    reshape_sum = variant in ("fusedhead",)
     act = jnp.bfloat16 if bf16act else jnp.float32
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, r * G), 1)
@@ -182,7 +192,12 @@ def build_step(
             _bcast(_group_max(h + (class_ok_a - 1.0) * 1e9))
         )
         e = jnp.exp(h - gmax) * class_ok_a
-        probs = e / (e @ sum_bcast_a)
+        if reshape_sum:
+            m_, L_ = e.shape
+            den = e.reshape(m_, L_ // 16, 16).sum(axis=-1)
+            probs = e / jnp.repeat(den, 16, axis=1)
+        else:
+            probs = e / (e @ sum_bcast_a)
         row0 = jnp.zeros((m, 1), act).at[0, 0].set(1.0)
         is_term = row0 * term_cols_a
         pinned_hard = is_term * term_onehot_a + (1.0 - is_term) * probs
