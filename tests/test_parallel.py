@@ -508,3 +508,43 @@ def test_partition_metis_quality_and_balance():
     )
     assert q["cross_shard_edge_fraction"] < 0.05
     assert q["cross_shard_edge_fraction"] < qc["cross_shard_edge_fraction"]
+
+
+def test_shard_graph_block_ell_weighted_matches():
+    """Weighted edges through the hop-0 block-ELL plan: the bell tables
+    carry the real edge weights, outliers included."""
+    from jax.experimental.pallas import tpu as pltpu
+    from gcn_maxcut_tpu.parallel.spmm import _group_aggregate
+
+    n = 8192
+    senders, receivers = _banded_coo(n, (1, 2, 40), seed=9)
+    rng = np.random.default_rng(4)
+    half = rng.random(senders.shape[0] // 2).astype(np.float32) + 0.5
+    weights = np.concatenate([half, half])  # symmetric weights
+    sg, g2l = shard_graph(
+        senders, receivers, n, D, weights=weights, block_ell=True
+    )
+    assert sg.bell_senders is not None
+    n_shard = sg.n_shard
+    owner, local = g2l // n_shard, g2l % n_shard
+
+    x_global = rng.normal(size=(n, 128)).astype(np.float32)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (receivers, senders), weights)
+    expect = dense @ x_global
+
+    x_sh = np.zeros((D, n_shard, 128), np.float32)
+    x_sh[owner, local] = x_global
+    x_sh = jnp.asarray(x_sh)
+    out = np.zeros((D, n_shard, 128), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        for d in range(D):
+            sgl = jax.tree_util.tree_map(
+                lambda a: a[d] if getattr(a, "ndim", 0) > 0 else a, sg
+            )
+            acc = jnp.zeros((n_shard, 128), jnp.float32)
+            for s in range(D):
+                acc = acc + _group_aggregate(sgl, s, x_sh[(d + s) % D])
+            out[d] = np.asarray(acc)
+    got = out[owner, local]
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
